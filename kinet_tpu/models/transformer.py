@@ -1,0 +1,405 @@
+"""Vanilla + kinematic transformers (reference: src/trackformer/models/transformer.py).
+
+Differences from the reference, by design:
+- attention masks are additive-bias style built from boolean validity masks
+  (static shapes; the reference concatenates variable-length track queries,
+  transformer.py:51-84 — here track-query slots are fixed and masked),
+- layout is [B, L, D] batch-first throughout (torch MHA is [L, B, D]),
+- returns all decoder-layer intermediates like the reference
+  (TransformerDecoder.forward :281-322).
+
+Covers:
+- Transformer (encoder-decoder, pre/post-norm)          reference :19-84, 242-500
+- track_attention: per-layer track-query self-attention  reference :277-307
+- KinematicTransformer (detections -> enc-dec)           reference :87-142
+- DualKinematicTransformer + IntertwinedBranch fusion    reference :145-185, 470-485
+- DualKinematicEncoder (encoder-only variant)            reference :188-239
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+def mha_attention_bias(key_pad_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """[B, Lk] bool (True = pad) -> flax attention mask [B, 1, 1, Lk]
+    (True = may attend)."""
+    if key_pad_mask is None:
+        return None
+    return (~key_pad_mask)[:, None, None, :]
+
+
+class _SelfAttnBlock(nn.Module):
+    num_heads: int
+    d_model: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, src_q, src_k, src_v, mask, deterministic):
+        return nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            dropout_rate=self.dropout,
+        )(src_q, src_k, src_v, mask=mask, deterministic=deterministic)
+
+
+def _ffn(x, dim_feedforward, d_model, dropout, activation, deterministic):
+    h = nn.Dense(dim_feedforward)(x)
+    h = {"relu": nn.relu, "gelu": nn.gelu, "glu": nn.glu, "prelu": nn.relu}[
+        activation
+    ](h)
+    h = nn.Dropout(dropout, deterministic=deterministic)(h)
+    return nn.Dense(d_model)(h)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post/pre-norm encoder layer (reference :325-380)."""
+
+    d_model: int
+    nheads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, src, pos, key_pad_mask=None, deterministic=True):
+        bias = mha_attention_bias(key_pad_mask)
+
+        def sa(x):
+            q = k = x + pos if pos is not None else x
+            return _SelfAttnBlock(self.nheads, self.d_model, self.dropout)(
+                q, k, x, bias, deterministic
+            )
+
+        if self.pre_norm:
+            h = nn.LayerNorm()(src)
+            src = src + nn.Dropout(self.dropout, deterministic=deterministic)(sa(h))
+            h = nn.LayerNorm()(src)
+            src = src + nn.Dropout(self.dropout, deterministic=deterministic)(
+                _ffn(h, self.dim_feedforward, self.d_model, self.dropout,
+                     self.activation, deterministic)
+            )
+        else:
+            src = nn.LayerNorm()(
+                src + nn.Dropout(self.dropout, deterministic=deterministic)(sa(src))
+            )
+            src = nn.LayerNorm()(
+                src
+                + nn.Dropout(self.dropout, deterministic=deterministic)(
+                    _ffn(src, self.dim_feedforward, self.d_model, self.dropout,
+                         self.activation, deterministic)
+                )
+            )
+        return src
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Self-attn over queries + cross-attn to memory (reference :383-467)."""
+
+    d_model: int
+    nheads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt,
+        memory,
+        query_pos,
+        mem_pos,
+        mem_key_pad_mask=None,
+        tgt_key_pad_mask=None,
+        deterministic=True,
+    ):
+        mem_bias = mha_attention_bias(mem_key_pad_mask)
+        tgt_bias = mha_attention_bias(tgt_key_pad_mask)
+
+        def self_attn(x):
+            q = k = x + query_pos if query_pos is not None else x
+            return _SelfAttnBlock(self.nheads, self.d_model, self.dropout)(
+                q, k, x, tgt_bias, deterministic
+            )
+
+        def cross_attn(x):
+            q = x + query_pos if query_pos is not None else x
+            k = memory + mem_pos if mem_pos is not None else memory
+            return _SelfAttnBlock(self.nheads, self.d_model, self.dropout)(
+                q, k, memory, mem_bias, deterministic
+            )
+
+        drop = lambda y: nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        if self.pre_norm:
+            tgt = tgt + drop(self_attn(nn.LayerNorm()(tgt)))
+            tgt = tgt + drop(cross_attn(nn.LayerNorm()(tgt)))
+            tgt = tgt + drop(
+                _ffn(nn.LayerNorm()(tgt), self.dim_feedforward, self.d_model,
+                     self.dropout, self.activation, deterministic)
+            )
+        else:
+            tgt = nn.LayerNorm()(tgt + drop(self_attn(tgt)))
+            tgt = nn.LayerNorm()(tgt + drop(cross_attn(tgt)))
+            tgt = nn.LayerNorm()(
+                tgt
+                + drop(
+                    _ffn(tgt, self.dim_feedforward, self.d_model, self.dropout,
+                         self.activation, deterministic)
+                )
+            )
+        return tgt
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    nheads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, src, pos, key_pad_mask=None, deterministic=True):
+        for i in range(self.num_layers):
+            src = TransformerEncoderLayer(
+                self.d_model, self.nheads, self.dim_feedforward, self.dropout,
+                self.activation, self.pre_norm, name=f"layer{i}",
+            )(src, pos, key_pad_mask, deterministic)
+        if self.pre_norm:
+            src = nn.LayerNorm()(src)
+        return src
+
+
+class TransformerDecoder(nn.Module):
+    """Returns stacked intermediates [num_layers, B, Lq, D] (reference :281-322).
+
+    track_attention: before each decoder layer, the track-query slots get an
+    extra self-attention block of their own (reference :277-307 applies
+    TrackAttentionLayers to the first `tgt[:-100]` queries; here the split
+    is an explicit static `num_track_slots`, not a hardcoded -100).
+    """
+
+    num_layers: int
+    d_model: int
+    nheads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+    return_intermediate: bool = True
+    track_attention: bool = False
+    num_track_slots: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt,
+        memory,
+        query_pos,
+        mem_pos,
+        mem_key_pad_mask=None,
+        tgt_key_pad_mask=None,
+        deterministic=True,
+    ):
+        intermediates = []
+        for i in range(self.num_layers):
+            if self.track_attention and self.num_track_slots > 0:
+                t = self.num_track_slots
+                track_part = tgt[:, :t]
+                track_pos = query_pos[:, :t] if query_pos is not None else None
+                track_pad = (
+                    tgt_key_pad_mask[:, :t] if tgt_key_pad_mask is not None else None
+                )
+                updated = TransformerDecoderLayerTrack(
+                    self.d_model, self.nheads, self.dropout, name=f"track_layer{i}"
+                )(track_part, track_pos, track_pad, deterministic)
+                tgt = jnp.concatenate([updated, tgt[:, t:]], axis=1)
+            tgt = TransformerDecoderLayer(
+                self.d_model, self.nheads, self.dim_feedforward, self.dropout,
+                self.activation, self.pre_norm, name=f"layer{i}",
+            )(
+                tgt, memory, query_pos, mem_pos, mem_key_pad_mask,
+                tgt_key_pad_mask, deterministic,
+            )
+            out = nn.LayerNorm(name="norm")(tgt) if self.pre_norm else tgt
+            intermediates.append(out)
+        if self.return_intermediate:
+            return jnp.stack(intermediates, axis=0)
+        return intermediates[-1][None]
+
+
+class TransformerDecoderLayerTrack(nn.Module):
+    """Self-attention block over track queries only (reference :242-274)."""
+
+    d_model: int
+    nheads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, key_pad_mask=None, deterministic=True):
+        bias = mha_attention_bias(key_pad_mask)
+        q = k = tgt + query_pos if query_pos is not None else tgt
+        h = _SelfAttnBlock(self.nheads, self.d_model, self.dropout)(
+            q, k, tgt, bias, deterministic
+        )
+        return nn.LayerNorm()(
+            tgt + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        )
+
+
+class Transformer(nn.Module):
+    """DETR transformer (reference :19-84): flattens [B,H,W,D] memory is done
+    by the caller; takes src [B, L, D], pos [B, L, D], queries [B, Q, D]."""
+
+    d_model: int = 256
+    nheads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+    return_intermediate_dec: bool = True
+    track_attention: bool = False
+    num_track_slots: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        src,
+        src_pos,
+        query_pos,
+        tgt=None,
+        src_key_pad_mask=None,
+        tgt_key_pad_mask=None,
+        deterministic=True,
+    ):
+        memory = TransformerEncoder(
+            self.num_encoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="encoder",
+        )(src, src_pos, src_key_pad_mask, deterministic)
+        if tgt is None:
+            tgt = jnp.zeros_like(query_pos)
+        hs = TransformerDecoder(
+            self.num_decoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            True, self.track_attention, self.num_track_slots, name="decoder",
+        )(
+            tgt, memory, query_pos, src_pos, src_key_pad_mask,
+            tgt_key_pad_mask, deterministic,
+        )
+        return hs, memory
+
+
+class IntertwinedBranch(nn.Module):
+    """Cross-stream fusion block (reference :470-485): each stream is updated
+    from the other via a linear + add, then both are re-normalised."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, a, b):
+        a2 = nn.LayerNorm()(a + nn.Dense(self.d_model)(b))
+        b2 = nn.LayerNorm()(b + nn.Dense(self.d_model)(a))
+        return a2, b2
+
+
+class DualKinematicTransformer(nn.Module):
+    """Two parallel enc-dec streams (boxes / metadata) cross-mixed by
+    IntertwinedBranch after each stage (reference :145-185)."""
+
+    d_model: int = 288
+    nheads: int = 8
+    num_encoder_layers: int = 1
+    num_decoder_layers: int = 1
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        src_det,
+        src_meta,
+        pos,
+        query_pos_det,
+        query_pos_meta,
+        tgt_det=None,
+        tgt_meta=None,
+        src_key_pad_mask=None,
+        tgt_key_pad_mask=None,
+        deterministic=True,
+    ):
+        enc_a = TransformerEncoder(
+            self.num_encoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="encoder_det",
+        )(src_det, pos, src_key_pad_mask, deterministic)
+        enc_b = TransformerEncoder(
+            self.num_encoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="encoder_meta",
+        )(src_meta, pos, src_key_pad_mask, deterministic)
+        enc_a, enc_b = IntertwinedBranch(self.d_model, name="fuse_enc")(enc_a, enc_b)
+
+        if tgt_det is None:
+            tgt_det = jnp.zeros_like(query_pos_det)
+        if tgt_meta is None:
+            tgt_meta = jnp.zeros_like(query_pos_meta)
+        hs_a = TransformerDecoder(
+            self.num_decoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="decoder_det",
+        )(tgt_det, enc_a, query_pos_det, pos, src_key_pad_mask,
+          tgt_key_pad_mask, deterministic)
+        hs_b = TransformerDecoder(
+            self.num_decoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="decoder_meta",
+        )(tgt_meta, enc_b, query_pos_meta, pos, src_key_pad_mask,
+          tgt_key_pad_mask, deterministic)
+        a, b = IntertwinedBranch(self.d_model, name="fuse_dec")(hs_a[-1], hs_b[-1])
+        return hs_a.at[-1].set(a), hs_b.at[-1].set(b), enc_a, enc_b
+
+
+class DualKinematicEncoder(nn.Module):
+    """Encoder-only KineT variant (reference :188-239): track trails are
+    concatenated into the *source* sequence; predictions are read off the
+    encoder output rows."""
+
+    d_model: int = 288
+    nheads: int = 8
+    num_encoder_layers: int = 1
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        src_det,
+        src_meta,
+        pos,
+        src_key_pad_mask=None,
+        deterministic=True,
+    ):
+        enc_a = TransformerEncoder(
+            self.num_encoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="encoder_det",
+        )(src_det, pos, src_key_pad_mask, deterministic)
+        enc_b = TransformerEncoder(
+            self.num_encoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="encoder_meta",
+        )(src_meta, pos, src_key_pad_mask, deterministic)
+        enc_a, enc_b = IntertwinedBranch(self.d_model, name="fuse")(enc_a, enc_b)
+        return enc_a, enc_b
