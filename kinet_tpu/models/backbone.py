@@ -131,7 +131,12 @@ class Backbone(nn.Module):
     dilation: bool = False
 
     def setup(self):
-        sizes = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+        sizes = {
+            "resnet50": (3, 4, 6, 3),
+            "resnet101": (3, 4, 23, 3),
+            # 1-block-per-stage trunk for fast CI compiles (not in reference)
+            "resnet_test": (1, 1, 1, 1),
+        }
         self.trunk = ResNet(
             stage_sizes=sizes[self.name_arch], dilation=self.dilation
         )

@@ -1,0 +1,141 @@
+"""Model assembly (reference: src/trackformer/models/__init__.py:16-171).
+
+build_model(cfg) -> (model, criterion, postprocessors)
+
+- num_classes per dataset: 91 coco, 250 coco_panoptic, 20 for every MOT-ish
+  person dataset (the reference's intentional 20-class hack for 1-class MOT,
+  models/__init__.py:17-29),
+- weight_dict expands aux '_{i}' and '_enc' suffixes so the criterion's
+  total_loss is an exact-key weighted sum (reference :127-146).
+"""
+from __future__ import annotations
+
+from .criterion import SetCriterion
+from .detr import DETR, KineT, KinematicDetectorEncoder, KinematicDetectorTransformer
+from .postprocess import build_postprocessors
+
+
+def num_classes_for(dataset: str) -> int:
+    if dataset == "coco":
+        return 91
+    if dataset == "coco_panoptic":
+        return 250
+    # mot, mot_kine, crowdhuman, mot_crowdhuman, coco_person, ...
+    return 20
+
+
+def build_weight_dict(cfg) -> dict:
+    wd = {
+        "loss_ce": cfg.cls_loss_coef,
+        "loss_bbox": cfg.bbox_loss_coef,
+        "loss_giou": cfg.giou_loss_coef,
+    }
+    if cfg.masks:
+        wd["loss_mask"] = cfg.mask_loss_coef
+        wd["loss_dice"] = cfg.dice_loss_coef
+    if cfg.aux_loss:
+        aux = {}
+        for i in range(cfg.dec_layers - 1):
+            aux.update({f"{k}_{i}": v for k, v in wd.items()})
+        aux.update({f"{k}_enc": v for k, v in wd.items()})
+        wd.update(aux)
+    return wd
+
+
+def build_model(cfg):
+    dataset = cfg.get("dataset", "coco")
+    num_classes = num_classes_for(dataset)
+    tracking = bool(cfg.get("tracking", False))
+    num_track_slots = int(cfg.get("max_track_queries", 100)) if tracking else 0
+
+    common = dict(
+        num_classes=num_classes,
+        hidden_dim=cfg.hidden_dim,
+        num_queries=cfg.num_queries,
+        nheads=cfg.nheads,
+        enc_layers=cfg.enc_layers,
+        dim_feedforward=cfg.dim_feedforward,
+        dropout=cfg.dropout,
+        activation=cfg.activation,
+        pre_norm=cfg.pre_norm,
+        focal_loss=cfg.focal_loss,
+        num_track_slots=num_track_slots,
+    )
+
+    if cfg.get("kine", False):
+        if cfg.get("use_encoder_only", False):
+            model = KinematicDetectorEncoder(
+                num_classes=num_classes,
+                hidden_dim=cfg.hidden_dim,
+                nheads=cfg.nheads,
+                enc_layers=cfg.enc_layers,
+                dim_feedforward=cfg.dim_feedforward,
+                dropout=cfg.dropout,
+                activation=cfg.activation,
+                pre_norm=cfg.pre_norm,
+                focal_loss=cfg.focal_loss,
+                num_track_slots=num_track_slots or cfg.max_number_detection,
+                max_detections=cfg.max_number_detection,
+            )
+        elif cfg.get("used_ordered_queries", False):
+            model = KinematicDetectorTransformer(
+                **common,
+                dec_layers=cfg.dec_layers,
+                aux_loss=cfg.aux_loss,
+                max_detections=cfg.max_number_detection,
+            )
+        else:
+            model = KineT(
+                **common,
+                dec_layers=cfg.dec_layers,
+                aux_loss=cfg.aux_loss,
+                max_detections=cfg.max_number_detection,
+            )
+    elif cfg.get("deformable", False):
+        from .deformable_detr import DeformableDETR
+
+        model = DeformableDETR(
+            **common,
+            dec_layers=cfg.dec_layers,
+            aux_loss=cfg.aux_loss,
+            backbone_name=cfg.backbone,
+            dilation=cfg.dilation,
+            num_feature_levels=cfg.num_feature_levels,
+            dec_n_points=cfg.dec_n_points,
+            enc_n_points=cfg.enc_n_points,
+            with_box_refine=cfg.with_box_refine,
+            two_stage=cfg.two_stage,
+            multi_frame_attention=cfg.multi_frame_attention,
+            multi_frame_encoding=cfg.multi_frame_encoding,
+            merge_frame_features=cfg.merge_frame_features,
+        )
+    else:
+        model = DETR(
+            **common,
+            dec_layers=cfg.dec_layers,
+            aux_loss=cfg.aux_loss,
+            backbone_name=cfg.backbone,
+            dilation=cfg.dilation,
+            track_attention=cfg.track_attention,
+        )
+
+    losses = ["labels", "boxes", "cardinality"]
+    if cfg.masks:
+        losses.append("masks")
+
+    criterion = SetCriterion(
+        num_classes=num_classes,
+        weight_dict=build_weight_dict(cfg),
+        eos_coef=cfg.eos_coef,
+        losses=losses,
+        focal_loss=cfg.focal_loss,
+        focal_alpha=cfg.focal_alpha,
+        focal_gamma=cfg.focal_gamma,
+        tracking=tracking,
+        track_query_false_positive_eos_weight=cfg.track_query_false_positive_eos_weight,
+        cost_class=cfg.set_cost_class,
+        cost_bbox=cfg.set_cost_bbox,
+        cost_giou=cfg.set_cost_giou,
+    )
+    postprocessors = build_postprocessors(cfg)
+    return model, criterion, postprocessors
