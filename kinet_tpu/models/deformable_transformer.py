@@ -1,0 +1,502 @@
+"""Deformable transformer (reference: src/trackformer/models/deformable_transformer.py).
+
+TPU-first notes:
+- all level shapes are static python tuples, so the flatten/split layout is
+  known at trace time (the reference carries them as device tensors),
+- MSDeformAttn's sampling core is `kinet_tpu.ops.msda.ms_deform_attn`
+  (XLA gather; Pallas kernel swaps in via `use_pallas`),
+- track queries occupy fixed leading decoder slots with a key-pad mask
+  (the reference concatenates variable-length lists, :200-232),
+- the fork normalizes sampling offsets by (H, W) — swapped vs upstream
+  Deformable-DETR (deformable_transformer.py + ms_deform_attn.py:77-80);
+  we implement the correct (W, H) normalizer (evident intent, SURVEY §8).
+
+Covers: MSDeformAttn module with grid-prior offset init (reference
+ops/modules/ms_deform_attn.py:34-47), encoder with per-level reference
+grids (:302-330), separate per-frame encoders (:160-173), decoder with
+box refinement (:399-434), two-stage proposal generation (:92-122).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.msda import ms_deform_attn
+
+
+def inverse_sigmoid(x, eps=1e-5):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+def _offset_grid_init(n_heads, n_levels, n_points):
+    """Directional prior for sampling offsets (reference
+    ms_deform_attn.py:35-40): head h points at angle 2πh/M, point p at
+    radius p+1."""
+    thetas = jnp.arange(n_heads, dtype=jnp.float32) * (2.0 * math.pi / n_heads)
+    grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)  # [M, 2]
+    grid = grid / jnp.max(jnp.abs(grid), axis=-1, keepdims=True)
+    grid = jnp.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    scale = jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, None, :, None]
+    return (grid * scale).reshape(-1)
+
+
+class MSDeformAttn(nn.Module):
+    """Multi-scale deformable attention module (reference
+    ops/modules/ms_deform_attn.py:15-91): linears produce per-query sampling
+    offsets and softmax attention weights; sampling runs in the MSDA core."""
+
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, Lq, C]
+        reference_points: jnp.ndarray,  # [B, Lq, L, 2 or 4], in [0, 1]
+        src: jnp.ndarray,  # [B, S, C]
+        spatial_shapes: Sequence[Tuple[int, int]],
+        src_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True=pad
+        query_mask: Optional[jnp.ndarray] = None,  # [B, Lq] True=masked
+    ) -> jnp.ndarray:
+        b, lq, _ = query.shape
+        m, l, p = self.n_heads, self.n_levels, self.n_points
+        d_head = self.d_model // m
+
+        value = nn.Dense(self.d_model, name="value_proj")(src)
+        if src_padding_mask is not None:
+            value = jnp.where(src_padding_mask[..., None], 0.0, value)
+        value = value.reshape(b, -1, m, d_head)
+
+        offsets = nn.Dense(
+            m * l * p * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: _offset_grid_init(
+                m, l, p
+            ).astype(dtype),
+            name="sampling_offsets",
+        )(query).reshape(b, lq, m, l, p, 2)
+        attn = nn.Dense(
+            m * l * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(b, lq, m, l * p)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(b, lq, m, l, p)
+        if query_mask is not None:
+            attn = jnp.where(query_mask[:, :, None, None, None], 0.0, attn)
+
+        wh = jnp.asarray(
+            [(w, h) for h, w in spatial_shapes], jnp.float32
+        )  # (W, H) normalizer — upstream-correct order
+        if reference_points.shape[-1] == 2:
+            loc = (
+                reference_points[:, :, None, :, None, :]
+                + offsets / wh[None, None, None, :, None, :]
+            )
+        else:
+            loc = (
+                reference_points[:, :, None, :, None, :2]
+                + offsets / p * reference_points[:, :, None, :, None, 2:] * 0.5
+            )
+
+        out = ms_deform_attn(
+            value.astype(jnp.float32),
+            tuple(spatial_shapes),
+            loc.astype(jnp.float32),
+            attn.astype(jnp.float32),
+        ).astype(query.dtype)
+        return nn.Dense(self.d_model, name="output_proj")(out)
+
+
+def _ffn(x, d_ffn, d_model, dropout, activation, deterministic):
+    act = {"relu": nn.relu, "gelu": nn.gelu}[activation]
+    h = nn.Dense(d_ffn)(x)
+    h = nn.Dropout(dropout, deterministic=deterministic)(act(h))
+    h = nn.Dense(d_model)(h)
+    return h
+
+
+class DeformableEncoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    dropout: float
+    activation: str
+    n_levels: int
+    n_heads: int
+    n_points: int
+
+    @nn.compact
+    def __call__(
+        self, src, pos, reference_points, spatial_shapes,
+        padding_mask=None, deterministic=True,
+    ):
+        q = src + pos if pos is not None else src
+        src2 = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            name="self_attn",
+        )(q, reference_points, src, spatial_shapes, padding_mask)
+        src = nn.LayerNorm()(
+            src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
+        )
+        h = _ffn(src, self.d_ffn, self.d_model, self.dropout, self.activation,
+                 deterministic)
+        return nn.LayerNorm()(
+            src + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        )
+
+
+def encoder_reference_points(spatial_shapes, valid_ratios):
+    """Per-token per-level reference grid (reference :307-320): token centers
+    normalized by the valid (non-padded) extent, then re-scaled per level."""
+    refs = []
+    for h, w in spatial_shapes:
+        ry = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
+        rx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
+        ry = jnp.broadcast_to(ry, (h, w)).reshape(-1)
+        rx = jnp.broadcast_to(rx, (h, w)).reshape(-1)
+        lvl = len(refs)
+        y = ry[None] / (valid_ratios[:, None, lvl, 1] * h)
+        x = rx[None] / (valid_ratios[:, None, lvl, 0] * w)
+        refs.append(jnp.stack([x, y], axis=-1))  # [B, HW, 2]
+    ref = jnp.concatenate(refs, axis=1)  # [B, S, 2]
+    return ref[:, :, None, :] * valid_ratios[:, None, :, :]  # [B, S, L, 2]
+
+
+class DeformableEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    dropout: float
+    activation: str
+    n_levels: int
+    n_heads: int
+    n_points: int
+
+    @nn.compact
+    def __call__(
+        self, src, spatial_shapes, valid_ratios, pos=None,
+        padding_mask=None, deterministic=True,
+    ):
+        ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        out = src
+        for i in range(self.num_layers):
+            out = DeformableEncoderLayer(
+                self.d_model, self.d_ffn, self.dropout, self.activation,
+                self.n_levels, self.n_heads, self.n_points, name=f"layer{i}",
+            )(out, pos, ref, spatial_shapes, padding_mask, deterministic)
+        return out
+
+
+class DeformableDecoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    dropout: float
+    activation: str
+    n_levels: int
+    n_heads: int
+    n_points: int
+
+    @nn.compact
+    def __call__(
+        self, tgt, query_pos, reference_points, src, spatial_shapes,
+        src_padding_mask=None, query_pad_mask=None, deterministic=True,
+    ):
+        q = k = tgt + query_pos if query_pos is not None else tgt
+        attn_mask = (
+            (~query_pad_mask)[:, None, None, :] if query_pad_mask is not None else None
+        )
+        tgt2 = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            qkv_features=self.d_model,
+            dropout_rate=self.dropout,
+            name="self_attn",
+        )(q, k, tgt, mask=attn_mask, deterministic=deterministic)
+        tgt = nn.LayerNorm()(
+            tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
+        )
+        tgt2 = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            name="cross_attn",
+        )(
+            tgt + query_pos if query_pos is not None else tgt,
+            reference_points, src, spatial_shapes, src_padding_mask,
+            query_mask=query_pad_mask,
+        )
+        tgt = nn.LayerNorm()(
+            tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
+        )
+        h = _ffn(tgt, self.d_ffn, self.d_model, self.dropout, self.activation,
+                 deterministic)
+        return nn.LayerNorm()(
+            tgt + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        )
+
+
+class DeformableDecoder(nn.Module):
+    """Decoder with iterative box refinement (reference :399-434): when
+    `bbox_embed_fns` (per-layer bound head modules) are passed, each layer
+    updates the reference points through inverse-sigmoid residuals."""
+
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    dropout: float
+    activation: str
+    n_levels: int
+    n_heads: int
+    n_points: int
+
+    @nn.compact
+    def __call__(
+        self, tgt, reference_points, src, spatial_shapes, valid_ratios,
+        query_pos=None, src_padding_mask=None, query_pad_mask=None,
+        bbox_embed_fns=None, deterministic=True,
+    ):
+        output = tgt
+        intermediates, inter_refs = [], []
+        for i in range(self.num_layers):
+            if reference_points.shape[-1] == 4:
+                ref_input = (
+                    reference_points[:, :, None]
+                    * jnp.concatenate([valid_ratios, valid_ratios], -1)[:, None]
+                )
+            else:
+                ref_input = reference_points[:, :, None] * valid_ratios[:, None]
+            output = DeformableDecoderLayer(
+                self.d_model, self.d_ffn, self.dropout, self.activation,
+                self.n_levels, self.n_heads, self.n_points, name=f"layer{i}",
+            )(
+                output, query_pos, ref_input, src, spatial_shapes,
+                src_padding_mask, query_pad_mask, deterministic,
+            )
+            if bbox_embed_fns is not None:
+                tmp = bbox_embed_fns[i](output)
+                if reference_points.shape[-1] == 4:
+                    new_ref = jax.nn.sigmoid(tmp + inverse_sigmoid(reference_points))
+                else:
+                    xy = tmp[..., :2] + inverse_sigmoid(reference_points)
+                    new_ref = jax.nn.sigmoid(
+                        jnp.concatenate([xy, tmp[..., 2:]], -1)
+                    )
+                reference_points = jax.lax.stop_gradient(new_ref)
+            intermediates.append(output)
+            inter_refs.append(reference_points)
+        return jnp.stack(intermediates), jnp.stack(inter_refs)
+
+
+def get_valid_ratio(mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W] pad mask -> [B, 2] (w_ratio, h_ratio) (reference :124-131)."""
+    _, h, w = mask.shape
+    valid_h = jnp.sum(~mask[:, :, 0], axis=1).astype(jnp.float32)
+    valid_w = jnp.sum(~mask[:, 0, :], axis=1).astype(jnp.float32)
+    return jnp.stack([valid_w / w, valid_h / h], axis=-1)
+
+
+def proposal_pos_embed(proposals: jnp.ndarray, num_pos_feats: int = 128):
+    """Sine embedding of (unactivated) proposal boxes (reference :78-91)."""
+    scale = 2 * math.pi
+    t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = 10000.0 ** (2 * jnp.floor(t / 2) / num_pos_feats)
+    p = jax.nn.sigmoid(proposals) * scale
+    pos = p[..., None] / dim_t  # [B, Q, 4, F]
+    pos = jnp.stack(
+        [jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])], axis=-1
+    ).reshape(*pos.shape[:-2], -1)
+    return pos.reshape(*proposals.shape[:-1], -1)
+
+
+class DeformableTransformer(nn.Module):
+    """Top-level deformable transformer (reference :21-257)."""
+
+    d_model: int = 256
+    nheads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    activation: str = "relu"
+    num_feature_levels: int = 4
+    dec_n_points: int = 4
+    enc_n_points: int = 4
+    two_stage: bool = False
+    two_stage_num_proposals: int = 300
+    multi_frame_attention_separate_encoder: bool = False
+
+    def setup(self):
+        enc_levels = self.num_feature_levels
+        if self.multi_frame_attention_separate_encoder:
+            enc_levels //= 2
+        self.encoder = DeformableEncoder(
+            self.num_encoder_layers, self.d_model, self.dim_feedforward,
+            self.dropout, self.activation, enc_levels, self.nheads,
+            self.enc_n_points,
+        )
+        self.decoder = DeformableDecoder(
+            self.num_decoder_layers, self.d_model, self.dim_feedforward,
+            self.dropout, self.activation, self.num_feature_levels,
+            self.nheads, self.dec_n_points,
+        )
+        self.level_embed = self.param(
+            "level_embed",
+            nn.initializers.normal(1.0),
+            (self.num_feature_levels, self.d_model),
+        )
+        if self.two_stage:
+            self.enc_output = nn.Dense(self.d_model)
+            self.enc_output_norm = nn.LayerNorm()
+            self.pos_trans = nn.Dense(self.d_model * 2)
+            self.pos_trans_norm = nn.LayerNorm()
+        else:
+            self.reference_points_head = nn.Dense(2)
+
+    def gen_encoder_output_proposals(self, memory, memory_pad_mask, spatial_shapes):
+        """Two-stage proposal grid (reference :92-122)."""
+        b = memory.shape[0]
+        proposals = []
+        cur = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            mask_l = memory_pad_mask[:, cur : cur + h * w].reshape(b, h, w)
+            valid_h = jnp.sum(~mask_l[:, :, 0], axis=1).astype(jnp.float32)
+            valid_w = jnp.sum(~mask_l[:, 0, :], axis=1).astype(jnp.float32)
+            gy = jnp.broadcast_to(
+                jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)
+            )
+            gx = jnp.broadcast_to(
+                jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)
+            )
+            grid = jnp.stack([gx, gy], -1).reshape(1, h * w, 2)
+            scale = jnp.stack([valid_w, valid_h], -1)[:, None, :]
+            grid = (grid + 0.5) / scale
+            wh = jnp.ones_like(grid) * 0.05 * (2.0**lvl)
+            proposals.append(jnp.concatenate([grid, wh], -1))
+            cur += h * w
+        props = jnp.concatenate(proposals, axis=1)  # [B, S, 4]
+        valid = ((props > 0.01) & (props < 0.99)).all(-1, keepdims=True)
+        props = jnp.log(props / (1 - jnp.clip(props, 1e-6, 1 - 1e-6)))
+        bad = memory_pad_mask[..., None] | ~valid
+        props = jnp.where(bad, jnp.inf, props)
+        out_mem = jnp.where(bad, 0.0, memory)
+        out_mem = self.enc_output_norm(self.enc_output(out_mem))
+        return out_mem, props
+
+    def __call__(
+        self,
+        srcs,  # list of [B, H, W, C]
+        masks,  # list of [B, H, W] bool
+        pos_embeds,  # list of [B, H, W, C]
+        query_embed=None,  # [Q, 2C] or None (two-stage)
+        track_query_embeds=None,  # [B, T, C]
+        track_query_boxes=None,  # [B, T, 4]
+        track_query_active=None,  # [B, T] bool
+        class_embed_fn=None,  # two-stage scoring head (bound module)
+        bbox_embed_fn=None,  # two-stage box head
+        bbox_embed_fns=None,  # per-layer refine heads
+        deterministic=True,
+    ):
+        b = srcs[0].shape[0]
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        src_flat = jnp.concatenate(
+            [s.reshape(b, -1, self.d_model) for s in srcs], axis=1
+        )
+        mask_flat = jnp.concatenate([m.reshape(b, -1) for m in masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [
+                p.reshape(b, -1, self.d_model) + self.level_embed[i][None, None]
+                for i, p in enumerate(pos_embeds)
+            ],
+            axis=1,
+        ).astype(src_flat.dtype)
+        valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)
+
+        if self.multi_frame_attention_separate_encoder:
+            # two frames, half the levels each (reference :160-173); the
+            # CURRENT frame occupies the first half of the list here
+            # (deformable_detr emits [cur levels..., prev levels...])
+            half_l = self.num_feature_levels // 2
+            split = sum(h * w for h, w in spatial_shapes[:half_l])
+            mem_cur = self.encoder(
+                src_flat[:, :split], spatial_shapes[:half_l],
+                valid_ratios[:, :half_l], pos_flat[:, :split],
+                mask_flat[:, :split], deterministic,
+            )
+            mem_prev = self.encoder(
+                src_flat[:, split:], spatial_shapes[half_l:],
+                valid_ratios[:, half_l:], pos_flat[:, split:],
+                mask_flat[:, split:], deterministic,
+            )
+            memory = jnp.concatenate([mem_cur, mem_prev], axis=1)
+        else:
+            memory = self.encoder(
+                src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+                deterministic,
+            )
+
+        enc_outputs_class = None
+        enc_outputs_coord_unact = None
+        query_pad_mask = None
+        if self.two_stage:
+            out_mem, props = self.gen_encoder_output_proposals(
+                memory, mask_flat, spatial_shapes
+            )
+            enc_outputs_class = class_embed_fn(out_mem)
+            delta = bbox_embed_fn(out_mem)
+            enc_outputs_coord_unact = jnp.where(
+                jnp.isinf(props), props, delta + jnp.nan_to_num(props, posinf=0.0)
+            )
+            topk = self.two_stage_num_proposals
+            score = jnp.where(
+                jnp.isinf(props[..., 0]), -jnp.inf, enc_outputs_class[..., 0]
+            )
+            _, topk_idx = jax.lax.top_k(score, topk)
+            topk_coords = jnp.take_along_axis(
+                enc_outputs_coord_unact, topk_idx[..., None], axis=1
+            )
+            topk_coords = jax.lax.stop_gradient(topk_coords)
+            reference_points = jax.nn.sigmoid(topk_coords)
+            pos_trans = self.pos_trans_norm(
+                self.pos_trans(proposal_pos_embed(topk_coords, self.d_model // 2))
+            )
+            query_pos, tgt = jnp.split(pos_trans, 2, axis=-1)
+        else:
+            query_pos, tgt = jnp.split(query_embed, 2, axis=-1)
+            query_pos = jnp.broadcast_to(query_pos[None], (b, *query_pos.shape))
+            tgt = jnp.broadcast_to(tgt[None], (b, *tgt.shape)).astype(
+                src_flat.dtype
+            )
+            reference_points = jax.nn.sigmoid(
+                self.reference_points_head(query_pos)
+            )
+            if track_query_embeds is not None:
+                t = track_query_embeds.shape[1]
+                active = track_query_active
+                tq = jnp.where(
+                    active[..., None], track_query_embeds, 0.0
+                ).astype(src_flat.dtype)
+                query_pos = jnp.concatenate(
+                    [jnp.zeros((b, t, self.d_model), src_flat.dtype), query_pos],
+                    axis=1,
+                )
+                tgt = jnp.concatenate([tq, tgt], axis=1)
+                reference_points = jnp.concatenate(
+                    [track_query_boxes[..., :2], reference_points], axis=1
+                )
+                query_pad_mask = jnp.concatenate(
+                    [~active, jnp.zeros((b, tgt.shape[1] - t), bool)], axis=1
+                )
+
+        init_reference = reference_points
+        hs, inter_refs = self.decoder(
+            tgt, reference_points, memory, spatial_shapes, valid_ratios,
+            query_pos, mask_flat, query_pad_mask, bbox_embed_fns, deterministic,
+        )
+        return (
+            hs, memory, init_reference, inter_refs,
+            enc_outputs_class, enc_outputs_coord_unact, query_pad_mask,
+        )

@@ -1,0 +1,134 @@
+"""Multi-scale deformable attention sampling core.
+
+Semantic spec: reference ops/functions/ms_deform_attn_func.py:34-54
+(`ms_deform_attn_core_pytorch`) — per level, bilinear `grid_sample`
+(align_corners=False, zero padding) of the value map at the sampling
+locations, weighted by attention and summed over (levels × points).
+The CUDA kernels (ops/src/cuda/ms_deform_im2col_cuda.cuh) implement the
+same math; on TPU we provide:
+
+- `ms_deform_attn` — an XLA formulation: 4-corner gather + lerp. XLA
+  autodiff gives the exact col2im/col2im_coord gradients (scatter-add),
+  so no custom VJP is needed for correctness. Gathers are laid out as a
+  single flattened `take` per corner over the level-concatenated value
+  tensor to minimise kernel launches.
+- a Pallas kernel (kinet_tpu/ops/pallas/msda_pallas.py) for the hot path,
+  validated against this function (mirrors reference ops/test.py).
+
+Shapes (all static):
+  value:             [B, S, M, D]   S = sum_l H_l*W_l
+  spatial_shapes:    static tuple ((H0, W0), ...)
+  sampling_locations:[B, Lq, M, L, P, 2]  (x, y) in [0, 1]
+  attention_weights: [B, Lq, M, L, P]
+  returns:           [B, Lq, M * D]
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def level_start_index(spatial_shapes) -> Tuple[int, ...]:
+    starts, cur = [], 0
+    for h, w in spatial_shapes:
+        starts.append(cur)
+        cur += h * w
+    return tuple(starts)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    b, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    assert l == len(spatial_shapes)
+    starts = level_start_index(spatial_shapes)
+
+    hw = jnp.asarray(spatial_shapes, jnp.float32)  # [L, 2] (H, W)
+    h_l, w_l = hw[:, 0], hw[:, 1]
+
+    # grid_sample(align_corners=False): pixel = loc * size - 0.5
+    x = sampling_locations[..., 0] * w_l[None, None, None, :, None] - 0.5
+    y = sampling_locations[..., 1] * h_l[None, None, None, :, None] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+
+    # value laid out head-major for a single gather axis: [B, M, S, D]
+    value_t = value.transpose(0, 2, 1, 3)
+
+    starts_arr = jnp.asarray(starts, jnp.int32)[None, None, None, :, None]
+    h_i = jnp.asarray([sh[0] for sh in spatial_shapes], jnp.int32)[
+        None, None, None, :, None
+    ]
+    w_i = jnp.asarray([sh[1] for sh in spatial_shapes], jnp.int32)[
+        None, None, None, :, None
+    ]
+
+    out = jnp.zeros((b, lq, m, d), jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            w_bilin = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
+            xi_c = jnp.clip(xi.astype(jnp.int32), 0, w_i - 1)
+            yi_c = jnp.clip(yi.astype(jnp.int32), 0, h_i - 1)
+            inside = (
+                (xi >= 0) & (xi <= (w_i - 1).astype(jnp.float32))
+                & (yi >= 0) & (yi <= (h_i - 1).astype(jnp.float32))
+            )
+            idx = starts_arr + yi_c * w_i + xi_c  # [B, Lq, M, L, P]
+            # gather: [B, M, Lq*L*P, D]
+            idx_g = idx.transpose(0, 2, 1, 3, 4).reshape(b, m, lq * l * p)
+            g = jnp.take_along_axis(
+                value_t, idx_g[..., None], axis=2
+            )  # [B, M, Lq*L*P, D]
+            g = g.reshape(b, m, lq, l, p, d).transpose(0, 2, 1, 3, 4, 5)
+            contrib = (
+                w_bilin * inside.astype(jnp.float32) * attention_weights
+            )[..., None] * g
+            out = out + jnp.sum(contrib, axis=(3, 4))
+
+    return out.reshape(b, lq, m * d)
+
+
+def ms_deform_attn_loop(
+    value, spatial_shapes, sampling_locations, attention_weights
+):
+    """Straightforward per-level loop variant (readability oracle; identical
+    math to `ms_deform_attn`, used in tests)."""
+    b, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    out = jnp.zeros((b, lq, m, d), jnp.float32)
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        v = value[:, start : start + h * w]  # [B, HW, M, D]
+        start += h * w
+        loc = sampling_locations[:, :, :, lid]  # [B, Lq, M, P, 2]
+        aw = attention_weights[:, :, :, lid]  # [B, Lq, M, P]
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0, y0 = jnp.floor(x), jnp.floor(y)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi, yi = x0 + dx, y0 + dy
+                wt = (1 - jnp.abs(x - xi)) * (1 - jnp.abs(y - yi))
+                inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                idx = (
+                    jnp.clip(yi.astype(jnp.int32), 0, h - 1) * w
+                    + jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+                )
+                v_t = v.transpose(0, 2, 1, 3)  # [B, M, HW, D]
+                idx_g = idx.transpose(0, 2, 1, 3).reshape(b, m, lq * p)
+                g = jnp.take_along_axis(v_t, idx_g[..., None], axis=2)
+                g = g.reshape(b, m, lq, p, d).transpose(0, 2, 1, 3, 4)
+                out = out + jnp.sum(
+                    (wt * inside * aw)[..., None] * g, axis=3
+                )
+    return out.reshape(b, lq, m * d)

@@ -207,26 +207,38 @@ def tracking_train_forward(
                 k1, pt, prev_prev_targets, q4t_pp, pp_out,
                 false_positive_prob, false_negative_prob, add_false_pos=False,
             )
+            kw = {}
+            if "frame_features" in pp_out:
+                kw["prev_features"] = pp_out["frame_features"]
             prev_out = model.apply(
-                params, prev_batch, pt, deterministic=deterministic, rngs=rngs
+                params, prev_batch, pt, deterministic=deterministic,
+                rngs=rngs, **kw,
             )
         else:
             prev_out = model.apply(
                 params, prev_batch, None, deterministic=deterministic, rngs=rngs
             )
         q4t_prev = criterion.match(prev_out, pt)
-        return add_track_queries_to_targets(
+        aug = add_track_queries_to_targets(
             k2, targets, pt, q4t_prev, prev_out,
             false_positive_prob, false_negative_prob,
         )
+        return aug, prev_out.get("frame_features")
 
     if backprop_prev_frame:
-        aug_targets = prev_chain(params)
+        aug_targets, prev_frame_features = prev_chain(params)
     else:
-        aug_targets = prev_chain(jax.lax.stop_gradient(params))
+        aug_targets, prev_frame_features = prev_chain(
+            jax.lax.stop_gradient(params)
+        )
         aug_targets = jax.lax.stop_gradient(aug_targets)
+        if prev_frame_features is not None:
+            prev_frame_features = jax.lax.stop_gradient(prev_frame_features)
 
+    kw = {}
+    if prev_frame_features is not None:
+        kw["prev_features"] = prev_frame_features
     out = model.apply(
-        params, batch, aug_targets, deterministic=deterministic, rngs=rngs
+        params, batch, aug_targets, deterministic=deterministic, rngs=rngs, **kw
     )
     return out, aug_targets

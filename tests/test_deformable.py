@@ -1,0 +1,115 @@
+"""Deformable DETR tests: shapes, box refine, two-stage, multi-frame,
+track-query reference points, criterion integration."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kinet_tpu.config import load_config
+from kinet_tpu.models.build import build_model
+from kinet_tpu.structs import ImageBatch, Targets
+
+
+def dcfg(**over):
+    cfg = load_config("train.yaml", named=["train_deformable"])
+    base = dict(
+        dataset="mot",
+        backbone="resnet_test",
+        hidden_dim=32,
+        nheads=2,
+        enc_layers=1,
+        dec_layers=2,
+        dim_feedforward=64,
+        num_queries=12,
+        max_objects=5,
+        max_track_queries=4,
+        dropout=0.0,
+        num_feature_levels=4,
+        dec_n_points=2,
+        enc_n_points=2,
+    )
+    base.update(over)
+    return cfg.replace(**base)
+
+
+def make_batch(key, b=2, h=64, w=96, n=5, hidden=32, t=0):
+    k1, k2 = jax.random.split(key)
+    images = jax.random.normal(k1, (b, h, w, 3), jnp.float32)
+    pad = jnp.zeros((b, h, w), bool).at[:, h - 16 :, :].set(True)
+    boxes = jax.random.uniform(k2, (b, n, 4), minval=0.2, maxval=0.5)
+    labels = jnp.zeros((b, n), jnp.int32)
+    valid = jnp.ones((b, n), bool).at[:, 3:].set(False)
+    targets = Targets.create(
+        boxes, labels, valid, num_track_queries=t, hidden_dim=hidden
+    )
+    return ImageBatch(images=images, pad_mask=pad), targets
+
+
+def test_deformable_forward_refine_and_loss():
+    cfg = dcfg(with_box_refine=True)
+    model, criterion, _ = build_model(cfg)
+    batch, targets = make_batch(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    out = model.apply(params, batch, targets)
+    assert out["pred_logits"].shape == (2, 12, 20)  # focal: no eos col
+    assert out["pred_boxes"].shape == (2, 12, 4)
+    assert (out["pred_boxes"] >= 0).all() and (out["pred_boxes"] <= 1).all()
+    losses = criterion(out, targets)
+    assert jnp.isfinite(criterion.total_loss(losses))
+
+    def loss_fn(p):
+        o = model.apply(p, batch, targets)
+        return criterion.total_loss(criterion(o, targets))
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
+    assert jnp.isfinite(gnorm) and gnorm > 0
+
+
+def test_deformable_two_stage():
+    cfg = dcfg(two_stage=True, with_box_refine=True)
+    model, criterion, _ = build_model(cfg)
+    batch, targets = make_batch(jax.random.PRNGKey(0), h=48, w=64)
+    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    out = model.apply(params, batch, targets)
+    assert "enc_outputs" in out
+    enc = out["enc_outputs"]
+    assert enc["pred_logits"].shape[1] == enc["pred_boxes"].shape[1]
+    assert bool(jnp.isfinite(enc["pred_logits"]).all())
+    losses = criterion(out, targets)
+    assert "loss_ce_enc" in losses
+    assert jnp.isfinite(criterion.total_loss(losses))
+
+
+def test_deformable_multi_frame_track_queries():
+    cfg = dcfg(
+        tracking=True,
+        multi_frame_attention=True,
+        multi_frame_encoding=True,
+        with_box_refine=True,
+        hidden_dim=36,  # divisible by 3 heads groups for 3D encoding + GN
+    )
+    model, criterion, _ = build_model(cfg)
+    t = 4
+    batch, targets = make_batch(jax.random.PRNGKey(0), hidden=36, t=t)
+    targets = targets.replace(
+        track_query_embeds=jax.random.normal(jax.random.PRNGKey(2), (2, t, 36)),
+        track_query_boxes=jnp.full((2, t, 4), 0.4),
+        track_query_mask=jnp.array([[True, True, False, False]] * 2),
+        track_query_fp_mask=jnp.array([[False, True, False, False]] * 2),
+        track_query_match_ids=jnp.array([[1, -1, -1, -1]] * 2, jnp.int32),
+    )
+    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    prev_batch, _ = make_batch(jax.random.PRNGKey(7), hidden=36, t=t)
+    prev_out = model.apply(params, prev_batch, None)
+    out = model.apply(
+        params, batch, targets, prev_features=prev_out["frame_features"]
+    )
+    assert out["pred_logits"].shape[1] == t + 12
+    np.testing.assert_array_equal(
+        np.asarray(out["query_valid"][:, :t]), [[True, True, False, False]] * 2
+    )
+    q4t = criterion.match(out, targets)
+    assert (np.asarray(q4t[:, 1]) == 0).all()  # pinned to TP slot
+    losses = criterion(out, targets)
+    assert jnp.isfinite(criterion.total_loss(losses))

@@ -1,0 +1,87 @@
+"""MSDA op equivalence tests (mirrors reference ops/test.py:23-146):
+XLA implementation vs torch.nn.functional.grid_sample oracle, plus
+gradient checks via finite differences on the torch side."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from kinet_tpu.ops.msda import ms_deform_attn, ms_deform_attn_loop
+
+
+def torch_core(value, spatial_shapes, sampling_locations, attention_weights):
+    """Literal grid_sample formulation (semantic spec,
+    reference ms_deform_attn_func.py:34-54), in torch on CPU."""
+    N, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    value_list = value.split([h * w for h, w in spatial_shapes], dim=1)
+    sampling_grids = 2 * sampling_locations - 1
+    out = []
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = value_list[lid].flatten(2).transpose(1, 2).reshape(N * M, D, H, W)
+        g = sampling_grids[:, :, :, lid].transpose(1, 2).flatten(0, 1)
+        sampled = F.grid_sample(
+            v, g, mode="bilinear", padding_mode="zeros", align_corners=False
+        )  # [N*M, D, Lq, P]
+        out.append(sampled)
+    aw = attention_weights.transpose(1, 2).reshape(N * M, 1, Lq, L * P)
+    o = (torch.stack(out, dim=-2).flatten(-2) * aw).sum(-1)
+    return o.view(N, M * D, Lq).transpose(1, 2).contiguous()
+
+
+def _random_inputs(seed, b=2, m=4, d=8, lq=10, p=3, shapes=((6, 8), (3, 4))):
+    rng = np.random.default_rng(seed)
+    s = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    value = rng.normal(size=(b, s, m, d)).astype(np.float32)
+    loc = rng.uniform(-0.1, 1.1, size=(b, lq, m, l, p, 2)).astype(np.float32)
+    aw = rng.uniform(size=(b, lq, m, l, p)).astype(np.float32)
+    aw = aw / aw.sum(axis=(3, 4), keepdims=True)
+    return value, loc, aw, shapes
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_xla_matches_grid_sample(seed):
+    value, loc, aw, shapes = _random_inputs(seed)
+    ours = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw)))
+    ref = torch_core(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc), torch.from_numpy(aw)
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_loop_variant_matches():
+    value, loc, aw, shapes = _random_inputs(3)
+    a = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw)))
+    b = np.asarray(ms_deform_attn_loop(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_gradients_match_torch_autograd():
+    value, loc, aw, shapes = _random_inputs(7, b=1, m=2, d=4, lq=5, p=2)
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    ta = torch.from_numpy(aw).requires_grad_(True)
+    torch_out = torch_core(tv, shapes, tl, ta)
+    torch_out.sum().backward()
+
+    def f(v, l_, a_):
+        return jnp.sum(ms_deform_attn(v, shapes, l_, a_))
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw)
+    )
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-5)
+    # location grads: grid_sample's border behavior differs exactly at
+    # integer pixel boundaries; compare where the sampling point is interior
+    x = loc[..., 0] * np.array([w for _, w in shapes])[None, None, None, :, None] - 0.5
+    y = loc[..., 1] * np.array([h for h, _ in shapes])[None, None, None, :, None] - 0.5
+    interior = (np.abs(x - np.round(x)) > 1e-3) & (np.abs(y - np.round(y)) > 1e-3)
+    mask = np.repeat(interior[..., None], 2, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(gl)[mask], tl.grad.numpy()[mask], rtol=1e-3, atol=1e-4
+    )
