@@ -1,0 +1,112 @@
+"""Benchmark: flagship (Deformable-DETR multi-frame tracking) per-frame
+inference throughput at 800px on one chip — the reference's headline
+inference metric (reference src/track.py:211-214 logs num_frames/time Hz).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is computed against 7.4 Hz — the upstream TrackFormer paper's
+published single-GPU throughput for this model class (the fork commits no
+number of its own, SURVEY §6).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_GPU_HZ = 7.4
+
+
+def main():
+    from kinet_tpu.config import load_config
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.structs import ImageBatch, Targets
+
+    cfg = load_config(
+        "train.yaml",
+        named=["train_deformable", "train_tracking", "train_multi_frame"],
+    ).replace(dataset="mot", dropout=0.0)
+    model, _, _ = build_model(cfg)
+
+    # MOT17 at 800px short side (val_width 800 ≙ full-res eval setting)
+    b, h, w = 1, 800, 1440
+    n_track = int(cfg.max_track_queries)
+    key = jax.random.PRNGKey(0)
+    images = jax.random.normal(key, (b, h, w, 3), jnp.float32)
+    batch = ImageBatch(images=images, pad_mask=jnp.zeros((b, h, w), bool))
+    targets = Targets.create(
+        jnp.full((b, 1, 4), 0.5),
+        jnp.zeros((b, 1), jnp.int32),
+        jnp.zeros((b, 1), bool),
+        num_track_queries=n_track,
+        hidden_dim=int(cfg.hidden_dim),
+    )
+    # realistic tracker state: ~20 active track queries
+    targets = targets.replace(
+        track_query_mask=jnp.arange(n_track)[None] < 20,
+        track_query_embeds=jax.random.normal(
+            key, (b, n_track, int(cfg.hidden_dim))
+        ),
+        track_query_boxes=jnp.full((b, n_track, 4), 0.4),
+    )
+
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    jax.block_until_ready(params)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    ITERS = 10
+
+    def one_frame(carry, _):
+        feats = carry
+        out = model.apply(params, batch, targets, prev_features=feats)
+        return out["frame_features"], jnp.sum(out["pred_boxes"])
+
+    @jax.jit
+    def fwd_once(params, batch, targets):
+        out = model.apply(params, batch, targets, prev_features=None)
+        return out["frame_features"]
+
+    @jax.jit
+    def run_frames(feats):
+        # K tracker frames chained through prev_features inside ONE compiled
+        # graph: a single dispatch + sync, so remote-tunnel latency and
+        # async-dispatch artifacts cannot distort the timing
+        feats, sums = jax.lax.scan(one_frame, feats, None, length=ITERS)
+        return jnp.sum(sums)
+
+    t0 = time.perf_counter()
+    feats = fwd_once(params, batch, targets)
+    jax.block_until_ready(feats)
+    log(f"compile fwd_once: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    s = float(run_frames(feats))
+    log(f"compile run_frames (+1st run): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    s = float(run_frames(feats))
+    dt = time.perf_counter() - t0
+    log(f"checksum: {s}")
+    fps = ITERS * b / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "mot17_800px_flagship_inference",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / REFERENCE_GPU_HZ, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,431 @@
+"""Online tracker — the frame-by-frame state machine
+(reference: src/trackformer/models/tracker.py:18-561).
+
+TPU-first split of responsibilities:
+- the ONLY device work per frame is one jitted fixed-shape forward
+  (track-query slots padded to a static maximum; one image-size bucket =
+  one compile). The reference also keeps a single forward per frame but
+  with dynamic query counts (a fresh CUDA graph each time the count
+  changes).
+- everything over O(#tracks) state — keep/terminate hysteresis, reid,
+  NMS, public-detection filtering, result writing — is host-side numpy,
+  mirroring the reference's host-side python.
+
+Key behaviors preserved (file:line refs into the reference tracker.py):
+- track queries = live + inactive tracks' last hs_embed + cxcywh-normalized
+  boxes (:290-307),
+- outputs split into track rows vs new-detection rows by position (:336,421),
+- score threshold + steps_termination hysteresis (:344-365),
+- inactive reid via the same forward's rows at reid_score_thresh (:367-383),
+- track NMS (:401-418); detection NMS with existing tracks pinned by +inf
+  score (:491-509),
+- public-detection filtering by center distance or IoU >= 0.5 (:127-168),
+- reid of new detections vs inactive tracks by embed distance (scipy LSAP)
+  or greedy center distance (:170-267),
+- per-frame results dict results[id][frame] = {bbox, score, obj_ind}
+  (:529-548), inactive aging (:550), prev-feature deque (:76,554).
+"""
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from ..ops.nms import nms_numpy
+from ..structs import ImageBatch, Targets
+
+
+def box_xyxy_to_cxcywh_np(b):
+    x0, y0, x1, y1 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack(
+        [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0], axis=-1
+    )
+
+
+def clip_boxes_np(b, size_hw):
+    h, w = size_hw
+    out = b.copy()
+    out[..., 0::2] = np.clip(out[..., 0::2], 0, w)
+    out[..., 1::2] = np.clip(out[..., 1::2], 0, h)
+    return out
+
+
+@dataclass
+class Track:
+    """Per-track state (reference tracker.py:1056-1124)."""
+
+    id: int
+    pos: np.ndarray  # xyxy absolute
+    score: float
+    hs_embed: np.ndarray  # last embedding [D]
+    obj_ind: int
+    count_inactive: int = 0
+    count_termination: int = 0
+    mask: Optional[np.ndarray] = None
+    last_pos: list = field(default_factory=list)
+
+    def has_positive_area(self) -> bool:
+        return bool(self.pos[2] > self.pos[0] and self.pos[3] > self.pos[1])
+
+    def repeat_last_pos(self):
+        if self.last_pos:
+            self.last_pos.append(self.last_pos[-1])
+        else:
+            self.last_pos.append(self.pos.copy())
+
+    def reset_last_pos(self):
+        self.last_pos = [self.pos.copy()]
+
+
+def make_forward_fn(model, params, postprocess):
+    """Jitted per-frame forward with padded track-query slots."""
+
+    @jax.jit
+    def fwd(params, batch, targets, orig_size, prev_features):
+        kwargs = {}
+        if prev_features is not None or "Deformable" in type(model).__name__:
+            kwargs["prev_features"] = prev_features
+        out = model.apply(params, batch, targets, **kwargs)
+        res = postprocess(out, orig_size)
+        return {
+            "scores": res["scores"],
+            "labels": res["labels"],
+            "boxes": res["boxes"],
+            "hs_embed": out["hs_embed"],
+            "frame_features": out.get("frame_features"),
+        }
+
+    return fwd
+
+
+class Tracker:
+    def __init__(
+        self,
+        model,
+        params,
+        postprocess,
+        tracker_cfg: dict,
+        num_object_queries: int,
+        num_track_slots: int,
+        hidden_dim: int,
+        overflow_boxes: bool = False,
+        verbose: bool = False,
+        logger=None,
+    ):
+        self.model = model
+        self.params = params
+        self._fwd = make_forward_fn(model, params, postprocess)
+        self.num_object_queries = num_object_queries
+        self.num_track_slots = num_track_slots
+        self.hidden_dim = hidden_dim
+        self.overflow_boxes = overflow_boxes
+
+        c = tracker_cfg
+        self.detection_obj_score_thresh = c["detection_obj_score_thresh"]
+        self.track_obj_score_thresh = c["track_obj_score_thresh"]
+        self.detection_nms_thresh = c["detection_nms_thresh"]
+        self.track_nms_thresh = c["track_nms_thresh"]
+        self.public_detections = c.get("public_detections", False)
+        self.inactive_patience = float(c.get("inactive_patience", -1))
+        self.reid_sim_threshold = c.get("reid_sim_threshold", 0.0)
+        self.reid_sim_only = c.get("reid_sim_only", False)
+        self.reid_score_thresh = c.get("reid_score_thresh", 0.4)
+        self.reid_greedy_matching = c.get("reid_greedy_matching", False)
+        self.prev_frame_dist = int(c.get("prev_frame_dist", 1))
+        self.steps_termination = int(c.get("steps_termination", 1))
+        self._logger = logger or (lambda *a: None)
+        self.reset()
+
+    def reset(self, hard: bool = True):
+        self.tracks: list[Track] = []
+        self.inactive_tracks: list[Track] = []
+        self._prev_features = deque([None], maxlen=self.prev_frame_dist)
+        if hard:
+            self.track_num = 0
+            self.results = {}
+            self.frame_index = 0
+            self.num_reids = 0
+
+    # ------------------------------------------------------------------
+    def move_tracks_to_inactive(self, to_inactive):
+        self.tracks = [t for t in self.tracks if t not in to_inactive]
+        for t in to_inactive:
+            t.repeat_last_pos()
+        self.inactive_tracks += to_inactive
+
+    def add_tracks(self, boxes, scores, hs_embeds, obj_inds, masks=None):
+        new_ids = []
+        for i in range(len(boxes)):
+            self.tracks.append(
+                Track(
+                    id=self.track_num + i,
+                    pos=np.asarray(boxes[i]),
+                    score=float(scores[i]),
+                    hs_embed=np.asarray(hs_embeds[i]),
+                    obj_ind=int(obj_inds[i]),
+                    mask=None if masks is None else masks[i],
+                )
+            )
+            new_ids.append(self.track_num + i)
+        self.track_num += len(new_ids)
+        return new_ids
+
+    def public_detections_mask(self, new_boxes, public_boxes):
+        """(reference :127-168)"""
+        if not self.public_detections:
+            return np.ones(len(new_boxes), bool)
+        if len(public_boxes) == 0 or len(new_boxes) == 0:
+            return np.zeros(len(new_boxes), bool)
+        mask = np.zeros(len(new_boxes), bool)
+        if self.public_detections == "center_distance":
+            item_size = (new_boxes[:, 2] - new_boxes[:, 0]) * (
+                new_boxes[:, 3] - new_boxes[:, 1]
+            )
+            nc = box_xyxy_to_cxcywh_np(new_boxes)[:, :2]
+            pc = box_xyxy_to_cxcywh_np(public_boxes)[:, :2]
+            dist = ((nc[:, None] - pc[None]) ** 2).sum(-1)
+            for j in range(len(public_boxes)):
+                i = int(dist[:, j].argmin())
+                if dist[i, j] < item_size[i]:
+                    dist[i, :] = 1e18
+                    mask[i] = True
+        elif self.public_detections == "min_iou_0_5":
+            x0 = np.maximum(new_boxes[:, None, 0], public_boxes[None, :, 0])
+            y0 = np.maximum(new_boxes[:, None, 1], public_boxes[None, :, 1])
+            x1 = np.minimum(new_boxes[:, None, 2], public_boxes[None, :, 2])
+            y1 = np.minimum(new_boxes[:, None, 3], public_boxes[None, :, 3])
+            inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+            a1 = (new_boxes[:, 2] - new_boxes[:, 0]) * (
+                new_boxes[:, 3] - new_boxes[:, 1]
+            )
+            a2 = (public_boxes[:, 2] - public_boxes[:, 0]) * (
+                public_boxes[:, 3] - public_boxes[:, 1]
+            )
+            iou = inter / np.maximum(a1[:, None] + a2[None] - inter, 1e-9)
+            for j in range(len(public_boxes)):
+                i = int(iou[:, j].argmax())
+                if iou[i, j] >= 0.5:
+                    iou[i, :] = 0
+                    mask[i] = True
+        else:
+            raise NotImplementedError(self.public_detections)
+        return mask
+
+    def reid(self, new_boxes, new_scores, new_hs, new_masks=None):
+        """ReID new detections against inactive tracks (reference :170-267)."""
+        self.inactive_tracks = [
+            t
+            for t in self.inactive_tracks
+            if t.has_positive_area() and t.count_inactive <= self.inactive_patience
+        ]
+        if not self.inactive_tracks or len(new_boxes) == 0:
+            return np.ones(len(new_boxes), bool)
+
+        if self.reid_greedy_matching:
+            nb = box_xyxy_to_cxcywh_np(new_boxes)
+            ib = box_xyxy_to_cxcywh_np(
+                np.stack([t.pos for t in self.inactive_tracks])
+            )
+            dist = ((ib[:, None, :2] - nb[None, :, :2]) ** 2).sum(-1)
+            track_size = ib[:, 2] * ib[:, 3]
+            item_size = nb[:, 2] * nb[:, 3]
+            invalid = (dist > track_size[:, None]) | (dist > item_size[None])
+            dist = dist + invalid * 1e18
+            rows, cols = [], []
+            for i in range(dist.shape[0]):
+                j = int(dist[i].argmin())
+                if dist[i, j] < 1e16:
+                    dist[:, j] = 1e18
+                    dist[i, j] = 0.0
+                    rows.append(i)
+                    cols.append(j)
+            rows, cols = np.asarray(rows, int), np.asarray(cols, int)
+            dist_mat = dist
+        else:
+            ie = np.stack([t.hs_embed for t in self.inactive_tracks])
+            dist_mat = np.linalg.norm(
+                ie[:, None, :] - new_hs[None, :, :], axis=-1
+            )
+            rows, cols = linear_sum_assignment(dist_mat)
+
+        keep_mask = np.ones(len(new_boxes), bool)
+        removed = []
+        for r, cidx in zip(rows, cols):
+            if dist_mat[r, cidx] <= self.reid_sim_threshold:
+                t = self.inactive_tracks[r]
+                t.count_inactive = 0
+                t.pos = np.asarray(new_boxes[cidx])
+                t.score = float(new_scores[cidx])
+                t.hs_embed = np.asarray(new_hs[cidx])
+                t.reset_last_pos()
+                if new_masks is not None:
+                    t.mask = new_masks[cidx]
+                keep_mask[cidx] = False
+                removed.append(t)
+                self.tracks.append(t)
+                self.num_reids += 1
+        for t in removed:
+            self.inactive_tracks.remove(t)
+        return keep_mask
+
+    # ------------------------------------------------------------------
+    def step(self, blob: dict):
+        """blob: images [1,H,W,3] (normalized), pad_mask [1,H,W],
+        orig_size (h, w), dets [K, 4] public detections (xyxy abs)."""
+        self.inactive_tracks = [
+            t
+            for t in self.inactive_tracks
+            if t.has_positive_area() and t.count_inactive <= self.inactive_patience
+        ]
+        for t in self.tracks:
+            t.last_pos.append(t.pos.copy())
+
+        h0, w0 = blob["orig_size"]
+        t_slots = self.num_track_slots
+        all_tracks = self.tracks + self.inactive_tracks
+        num_prev = min(len(all_tracks), t_slots)
+        all_tracks = all_tracks[:num_prev]
+
+        tq_embeds = np.zeros((1, t_slots, self.hidden_dim), np.float32)
+        tq_boxes = np.full((1, t_slots, 4), 0.5, np.float32)
+        tq_mask = np.zeros((1, t_slots), bool)
+        if num_prev:
+            boxes_c = box_xyxy_to_cxcywh_np(
+                np.stack([t.pos for t in all_tracks])
+            ) / np.array([w0, h0, w0, h0], np.float32)
+            tq_boxes[0, :num_prev] = boxes_c
+            tq_embeds[0, :num_prev] = np.stack([t.hs_embed for t in all_tracks])
+            tq_mask[0, :num_prev] = True
+
+        batch = ImageBatch(
+            images=jnp.asarray(blob["images"]),
+            pad_mask=jnp.asarray(blob["pad_mask"]),
+        )
+        targets = Targets.create(
+            jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1, 1), bool),
+            num_track_queries=t_slots, hidden_dim=self.hidden_dim,
+        ).replace(
+            track_query_embeds=jnp.asarray(tq_embeds),
+            track_query_boxes=jnp.asarray(tq_boxes),
+            track_query_mask=jnp.asarray(tq_mask),
+        )
+        orig_size = jnp.asarray([[float(h0), float(w0)]], jnp.float32)
+
+        res = self._fwd(
+            self.params, batch, targets, orig_size, self._prev_features[0]
+        )
+        scores = np.asarray(res["scores"][0])
+        labels = np.asarray(res["labels"][0])
+        boxes_all = np.asarray(res["boxes"][0])
+        hs = np.asarray(res["hs_embed"][0])
+        if not self.overflow_boxes:
+            boxes_all = clip_boxes_np(boxes_all, (h0, w0))
+
+        # ----- track rows (slots [0:num_prev]) -----
+        if num_prev:
+            tr_scores = scores[:t_slots]
+            tr_boxes = boxes_all[:t_slots]
+            tr_labels = labels[:t_slots]
+            keep = (tr_scores > self.track_obj_score_thresh) & (tr_labels == 0)
+
+            to_inactive, from_inactive = [], []
+            for i, tr in enumerate(self.tracks):
+                if i >= num_prev:
+                    break
+                if keep[i]:
+                    tr.score = float(tr_scores[i])
+                    tr.hs_embed = hs[i]
+                    tr.pos = tr_boxes[i]
+                    tr.count_termination = 0
+                else:
+                    tr.count_termination += 1
+                    if tr.count_termination >= self.steps_termination:
+                        to_inactive.append(tr)
+
+            keep_reid = (tr_scores > self.reid_score_thresh) & (tr_labels == 0)
+            for i, tr in enumerate(self.inactive_tracks):
+                row = len(self.tracks) + i
+                if row >= num_prev:
+                    break
+                if keep_reid[row]:
+                    tr.score = float(tr_scores[row])
+                    tr.hs_embed = hs[row]
+                    tr.pos = tr_boxes[row]
+                    from_inactive.append(tr)
+
+            self.num_reids += len(from_inactive)
+            for tr in from_inactive:
+                self.inactive_tracks.remove(tr)
+                self.tracks.append(tr)
+            self.move_tracks_to_inactive(to_inactive)
+
+            if self.track_nms_thresh and self.tracks:
+                tb = np.stack([t.pos for t in self.tracks])
+                ts = np.array([t.score for t in self.tracks])
+                keep_idx = set(
+                    nms_numpy(tb, ts, self.track_nms_thresh).tolist()
+                )
+                self.tracks = [
+                    t for i, t in enumerate(self.tracks) if i in keep_idx
+                ]
+
+        # ----- new detections (object-query rows) -----
+        nd_scores = scores[t_slots:]
+        nd_boxes = boxes_all[t_slots:]
+        nd_labels = labels[t_slots:]
+        nd_hs = hs[t_slots:]
+        keep = (nd_scores > self.detection_obj_score_thresh) & (nd_labels == 0)
+        nd_inds = np.nonzero(keep)[0]
+        nd_boxes, nd_scores, nd_hs = nd_boxes[keep], nd_scores[keep], nd_hs[keep]
+
+        pmask = self.public_detections_mask(
+            nd_boxes, np.asarray(blob.get("dets", np.zeros((0, 4))))
+        )
+        nd_boxes, nd_scores, nd_hs, nd_inds = (
+            nd_boxes[pmask], nd_scores[pmask], nd_hs[pmask], nd_inds[pmask]
+        )
+
+        rmask = self.reid(nd_boxes, nd_scores, nd_hs)
+        nd_boxes, nd_scores, nd_hs, nd_inds = (
+            nd_boxes[rmask], nd_scores[rmask], nd_hs[rmask], nd_inds[rmask]
+        )
+
+        new_ids = self.add_tracks(nd_boxes, nd_scores, nd_hs, nd_inds)
+
+        if self.detection_nms_thresh and self.tracks:
+            tb = np.stack([t.pos for t in self.tracks])
+            ts = np.array([t.score for t in self.tracks])
+            new_mask = np.array([t.id in new_ids for t in self.tracks])
+            ts = np.where(~new_mask, np.inf, ts)
+            keep_idx = set(nms_numpy(tb, ts, self.detection_nms_thresh).tolist())
+            self.tracks = [t for i, t in enumerate(self.tracks) if i in keep_idx]
+
+        # ----- results -----
+        for t in self.tracks:
+            self.results.setdefault(t.id, {})
+            bbox = t.pos if self.overflow_boxes else clip_boxes_np(t.pos, (h0, w0))
+            self.results[t.id][self.frame_index] = {
+                "bbox": np.asarray(bbox, np.float32),
+                "score": float(t.score),
+                "obj_ind": int(t.obj_ind),
+            }
+            if t.mask is not None:
+                self.results[t.id][self.frame_index]["mask"] = t.mask
+
+        for t in self.inactive_tracks:
+            t.count_inactive += 1
+        self.frame_index += 1
+        if res["frame_features"] is not None:
+            self._prev_features.append(res["frame_features"])
+
+        if self.reid_sim_only:
+            self.move_tracks_to_inactive(list(self.tracks))
+
+    def get_results(self):
+        return self.results

@@ -16,3 +16,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the suite's cost is XLA CPU compiles of model
+# graphs; caching them across runs cuts repeat runs from minutes to seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/kinet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
