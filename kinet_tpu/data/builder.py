@@ -1,0 +1,73 @@
+"""Dataset dispatch (reference: src/trackformer/datasets/__init__.py:29-52):
+coco, coco_person, mot, mot_kine, crowdhuman, mot_crowdhuman,
+mot_coco_person."""
+from __future__ import annotations
+
+import os.path as osp
+
+from .coco import CocoDetection
+from .crowdhuman import build_crowdhuman
+from .mot import MOT, WeightedConcatDataset
+
+
+def _build_coco(split: str, cfg, img_folder_key="coco_path", mode="instances"):
+    root = cfg.coco_path
+    split_name = "train2017" if split == "train" else "val2017"
+    return CocoDetection(
+        img_folder=osp.join(root, split_name),
+        ann_file=osp.join(
+            root, "annotations", f"{mode}_{split_name}.json"
+        ),
+        split=split,
+        img_transform=cfg.img_transform,
+        overflow_boxes=cfg.overflow_boxes,
+        prev_frame=cfg.tracking,
+        prev_frame_rnd_augs=cfg.coco_and_crowdhuman_prev_frame_rnd_augs,
+        prev_prev_frame=cfg.track_prev_prev_frame,
+        min_num_objects=cfg.coco_min_num_objects,
+    )
+
+
+def _build_mot(split: str, cfg):
+    root = cfg.mot_path_train if split == "train" else cfg.mot_path_val
+    split_name = cfg.train_split if split == "train" else cfg.val_split
+    return MOT(
+        img_folder=osp.join(root, "train"),
+        ann_file=osp.join(root, "annotations", f"{split_name}.json"),
+        split=split,
+        img_transform=cfg.img_transform,
+        overflow_boxes=cfg.overflow_boxes,
+        prev_frame=cfg.tracking,
+        prev_frame_rnd_augs=cfg.track_prev_frame_rnd_augs,
+        prev_prev_frame=cfg.track_prev_prev_frame,
+        prev_frame_range=cfg.track_prev_frame_range,
+    )
+
+
+def build_dataset(split: str, cfg):
+    name = cfg.dataset
+    if name == "coco":
+        return _build_coco(split, cfg)
+    if name == "coco_person":
+        return _build_coco(split, cfg, mode="person_keypoints")
+    if name == "mot":
+        return _build_mot(split, cfg)
+    if name == "mot_kine":
+        from .kinematic import build_mot_kine
+
+        return build_mot_kine(split, cfg)
+    if name == "crowdhuman":
+        return build_crowdhuman(split, cfg)
+    if name == "mot_crowdhuman":
+        mot = _build_mot(split, cfg)
+        if split == "train":
+            ch = build_crowdhuman("train", cfg)
+            return WeightedConcatDataset([mot, ch])
+        return mot
+    if name == "mot_coco_person":
+        mot = _build_mot(split, cfg)
+        if split == "train":
+            coco = _build_coco("train", cfg, mode="person_keypoints")
+            return WeightedConcatDataset([mot, coco])
+        return mot
+    raise ValueError(f"unknown dataset {name}")

@@ -1,0 +1,213 @@
+"""Batching + host->device staging (reference: util/misc.py:294-376
+collate_fn / NestedTensor machinery + train.py:130-164 loaders).
+
+TPU-first: batches are padded to *bucketed* static shapes (one compile per
+bucket instead of one per unique image size), annotations are padded to
+max_objects with validity masks, and a background-thread prefetcher
+overlaps host data work with device steps (≙ torch DataLoader workers).
+
+Also provides WeightedRandomSampler ≙ DistributedWeightedSampler weighting
+samples by 1/seq_length (reference util/misc.py:580-606, train.py:131).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..structs import ImageBatch, Targets, pick_bucket
+
+
+def pad_targets(
+    targets: list[dict],
+    max_objects: int,
+    num_track_queries: int,
+    hidden_dim: int,
+) -> Targets:
+    b = len(targets)
+    boxes = np.zeros((b, max_objects, 4), np.float32)
+    labels = np.zeros((b, max_objects), np.int32)
+    valid = np.zeros((b, max_objects), bool)
+    track_ids = np.full((b, max_objects), -1, np.int64)
+    for i, t in enumerate(targets):
+        n = min(len(t["boxes"]), max_objects)
+        if n:
+            boxes[i, :n] = t["boxes"][:n]
+            labels[i, :n] = t["labels"][:n]
+            valid[i, :n] = True
+            if "track_ids" in t and len(t["track_ids"]) >= n:
+                track_ids[i, :n] = t["track_ids"][:n]
+    return Targets.create(
+        boxes, labels, valid, track_ids.astype(np.int32),
+        num_track_queries=num_track_queries, hidden_dim=hidden_dim,
+    )
+
+
+def pad_images(images: list[np.ndarray], buckets) -> ImageBatch:
+    """Pad HWC images to the smallest shared bucket (reference
+    nested_tensor_from_tensor_list pads to the per-batch max — a fresh
+    shape every step; bucketing keeps the jit cache small)."""
+    hs = [im.shape[0] for im in images]
+    ws = [im.shape[1] for im in images]
+    ph, pw = pick_bucket(max(hs), max(ws), buckets)
+    ph, pw = max(ph, max(hs)), max(pw, max(ws))
+    b = len(images)
+    out = np.zeros((b, ph, pw, 3), np.float32)
+    mask = np.ones((b, ph, pw), bool)
+    for i, im in enumerate(images):
+        h, w = im.shape[:2]
+        out[i, :h, :w] = im
+        mask[i, :h, :w] = False
+    return ImageBatch(images=out, pad_mask=mask)
+
+
+def collate_tracking(
+    samples: list[dict],
+    buckets,
+    max_objects: int,
+    num_track_queries: int,
+    hidden_dim: int,
+):
+    """Collate {image, target, prev_image?, prev_target?, ...} samples into
+    static-shape (batch, targets, prev_batch, prev_targets, ...)."""
+    out = {}
+    for key, tkey in (
+        ("image", "target"),
+        ("prev_image", "prev_target"),
+        ("prev_prev_image", "prev_prev_target"),
+    ):
+        if key not in samples[0]:
+            out[key] = None
+            out[tkey] = None
+            continue
+        out[key] = pad_images([s[key] for s in samples], buckets)
+        out[tkey] = pad_targets(
+            [s[tkey] for s in samples], max_objects, num_track_queries, hidden_dim
+        )
+    return out
+
+
+class WeightedRandomSampler:
+    """Epoch-length weighted sampling with replacement (reference
+    DistributedWeightedSampler, util/misc.py:580-606); shard-aware via
+    (rank, world_size) like the reference's distributed variant."""
+
+    def __init__(self, dataset, rank=0, world_size=1, seed=0):
+        self.dataset = dataset
+        self.rank = rank
+        self.world_size = world_size
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        n = len(self.dataset)
+        if hasattr(self.dataset, "sample_weight"):
+            w = np.array([self.dataset.sample_weight(i) for i in range(n)])
+        else:
+            w = np.ones(n)
+        w = w / w.sum()
+        rng = np.random.default_rng(self.seed + self.epoch)
+        idx = rng.choice(n, size=n, replace=True, p=w)
+        shard = idx[self.rank :: self.world_size]
+        return iter(shard.tolist())
+
+    def __len__(self):
+        return len(self.dataset) // self.world_size
+
+
+class RandomSampler:
+    def __init__(self, dataset, rank=0, world_size=1, seed=0):
+        self.dataset = dataset
+        self.rank = rank
+        self.world_size = world_size
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        idx = rng.permutation(len(self.dataset))
+        return iter(idx[self.rank :: self.world_size].tolist())
+
+    def __len__(self):
+        return len(self.dataset) // self.world_size
+
+
+class DataLoader:
+    """Threaded prefetching loader producing collated static-shape batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        sampler,
+        buckets,
+        max_objects: int,
+        num_track_queries: int = 0,
+        hidden_dim: int = 256,
+        num_workers: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.buckets = buckets
+        self.max_objects = max_objects
+        self.num_track_queries = num_track_queries
+        self.hidden_dim = hidden_dim
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        indices = list(self.sampler)
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
+        stop = threading.Event()
+
+        def worker(batch_list):
+            for idxs in batch_list:
+                if stop.is_set():
+                    return
+                samples = [self.dataset[i] for i in idxs]
+                q.put(
+                    collate_tracking(
+                        samples, self.buckets, self.max_objects,
+                        self.num_track_queries, self.hidden_dim,
+                    )
+                )
+            q.put(None)
+
+        shards = [batches[i :: self.num_workers] for i in range(self.num_workers)]
+        threads = [
+            threading.Thread(target=worker, args=(s,), daemon=True)
+            for s in shards
+        ]
+        for t in threads:
+            t.start()
+        done = 0
+        try:
+            while done < self.num_workers:
+                item = q.get()
+                if item is None:
+                    done += 1
+                    continue
+                yield item
+        finally:
+            stop.set()

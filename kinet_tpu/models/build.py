@@ -78,11 +78,15 @@ def build_model(cfg):
                 max_detections=cfg.max_number_detection,
             )
         elif cfg.get("used_ordered_queries", False):
+            trail_len = max(int(cfg.track_prev_frame_range), 1)
+            meta_dim = 2 if cfg.use_class else 1
             model = KinematicDetectorTransformer(
                 **common,
                 dec_layers=cfg.dec_layers,
                 aux_loss=cfg.aux_loss,
                 max_detections=cfg.max_number_detection,
+                trail_enc_dim=trail_len * 4 * cfg.encoding_dim_tracklets,
+                meta_hist_dim=trail_len * meta_dim,
             )
         else:
             model = KineT(
@@ -108,6 +112,7 @@ def build_model(cfg):
             multi_frame_attention=cfg.multi_frame_attention,
             multi_frame_encoding=cfg.multi_frame_encoding,
             merge_frame_features=cfg.merge_frame_features,
+            masks=cfg.masks,
         )
     else:
         model = DETR(
@@ -117,6 +122,14 @@ def build_model(cfg):
             backbone_name=cfg.backbone,
             dilation=cfg.dilation,
             track_attention=cfg.track_attention,
+            masks=cfg.masks,
+        )
+
+    if cfg.masks and not cfg.get("kine", False):
+        from .segmentation import SegmWrapper
+
+        model = SegmWrapper(
+            detector=model, hidden_dim=cfg.hidden_dim, nheads=cfg.nheads
         )
 
     losses = ["labels", "boxes", "cardinality"]

@@ -218,13 +218,18 @@ class SetCriterion:
         [B, N, Hm, Wm] at matching resolution (the data pipeline resizes).
         """
         pred_masks = outputs["pred_masks"]
-        tgt_masks = targets_masks = getattr(targets, "masks", None)
-        if targets_masks is None:
+        tgt_masks = getattr(targets, "masks", None)
+        if tgt_masks is None:
             return {}
         b = pred_masks.shape[0]
         valid = targets.valid & (q4t >= 0)
         q = jnp.clip(q4t, 0)
-        src = pred_masks[jnp.arange(b)[:, None], q]  # [B, N, Hm, Wm]
+        src = pred_masks[jnp.arange(b)[:, None], q]  # [B, N, Hp, Wp]
+        # upsample predictions to GT mask resolution (reference detr.py:779)
+        if src.shape[-2:] != tgt_masks.shape[-2:]:
+            src = jax.image.resize(
+                src, (*src.shape[:2], *tgt_masks.shape[-2:]), method="bilinear"
+            )
         src = src.reshape(-1, *src.shape[2:])
         tgt = tgt_masks.reshape(-1, *tgt_masks.shape[2:]).astype(src.dtype)
         v = valid.reshape(-1)

@@ -53,14 +53,24 @@ class DeformableDETR(nn.Module):
     merge_frame_features: bool = False
     num_track_slots: int = 0
     focal_loss: bool = True
+    masks: bool = False
 
     def setup(self):
         gn_groups = math.gcd(32, self.hidden_dim)
-        self.backbone = Backbone(
-            name_arch=self.backbone_name,
-            return_interm_layers=True,
-            dilation=self.dilation,
-        )
+        if self.masks:
+            from .backbone import BackboneWithMasksAll
+
+            self.backbone = BackboneWithMasksAll(
+                name_arch=self.backbone_name,
+                return_interm_layers=True,
+                dilation=self.dilation,
+            )
+        else:
+            self.backbone = Backbone(
+                name_arch=self.backbone_name,
+                return_interm_layers=True,
+                dilation=self.dilation,
+            )
         backbone_channels = self.backbone.num_channels  # [512, 1024, 2048]
         n_backbone_levels = min(self.num_feature_levels, len(backbone_channels))
 
@@ -175,7 +185,9 @@ class DeformableDETR(nn.Module):
         prev_features=None,  # (feats list, pad_mask) of the previous frame
         deterministic: bool = True,
     ):
-        feats, _ = self.backbone(batch.images, batch.pad_mask)
+        feats_all, _ = self.backbone(batch.images, batch.pad_mask)
+        # pyramid uses C3..C5 (reference deformable_detr.py:144: features[-3:])
+        feats = feats_all[-3:]
         b = batch.images.shape[0]
 
         if self.merge_frame_features:
@@ -281,5 +293,6 @@ class DeformableDETR(nn.Module):
             }
         # features of this frame, reusable as next frame's prev_features
         out["frame_features"] = (feats, batch.pad_mask)
+        out["backbone_features"] = feats_all  # all levels (mask-head FPN)
         out["memory"] = memory
         return out

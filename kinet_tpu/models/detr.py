@@ -77,13 +77,25 @@ class DETR(nn.Module):
     num_track_slots: int = 0
     track_attention: bool = False
     focal_loss: bool = False
+    masks: bool = False
 
     def setup(self):
-        self.backbone = Backbone(
-            name_arch=self.backbone_name,
-            return_interm_layers=False,
-            dilation=self.dilation,
-        )
+        # with masks, all 4 pyramid levels are exposed for the FPN mask head
+        # (reference backbone.py:72-81: return_interm_layers when masks)
+        if self.masks:
+            from .backbone import BackboneWithMasksAll
+
+            self.backbone = BackboneWithMasksAll(
+                name_arch=self.backbone_name,
+                return_interm_layers=True,
+                dilation=self.dilation,
+            )
+        else:
+            self.backbone = Backbone(
+                name_arch=self.backbone_name,
+                return_interm_layers=False,
+                dilation=self.dilation,
+            )
         self.input_proj = nn.Conv(self.hidden_dim, (1, 1), name="input_proj")
         self.query_embed = self.param(
             "query_embed",
@@ -111,7 +123,8 @@ class DETR(nn.Module):
         self,
         batch: ImageBatch,
         targets: Optional[Targets] = None,
-        deterministic: bool = True,
+        prev_features=None,  # accepted for API parity; vanilla DETR is
+        deterministic: bool = True,  # single-frame (reference detr.py:66)
     ):
         feats, masks = self.backbone(batch.images, batch.pad_mask)
         src, pad = feats[-1], masks[-1]
@@ -173,6 +186,7 @@ class DETR(nn.Module):
             "query_valid": ~tgt_pad,
             "memory": memory.reshape(b, h, w, d),
             "memory_pad_mask": pad,
+            "frame_features": (feats, batch.pad_mask),
         }
         if self.aux_loss:
             out["aux_outputs"] = [
@@ -293,11 +307,16 @@ class KinematicDetectorTransformer(nn.Module):
     """Dual-stream KineT (reference detr.py:288-425): box stream + metadata
     stream through KinetBackbone, fused by DualKinematicTransformer.
 
-    Track queries arrive as *two* embeddings per slot
-    (track_query_embeds = [det_embed | meta_embed] concatenated on the
-    feature axis; reference keeps separate `track_query_hs_embeds_det/meta`,
-    detr_tracking.py:791-805).
+    Track queries arrive as raw trail encodings per slot:
+    track_query_embeds[..., :trail_enc_dim] = sine-encoded position trail,
+    [..., trail_enc_dim:] = metadata history — the layout the kine
+    augmentation / TrackerKinematic produce (reference keeps separate
+    `track_query_hs_embeds_det/meta`, detr_tracking.py:791-805). Two Dense
+    projections lift them to the model width per stream.
     """
+
+    trail_enc_dim: int = 0  # 0 -> embeds are already [det|meta] at 2*hidden
+    meta_hist_dim: int = 0  # metadata-history width when trail_enc_dim > 0
 
     num_classes: int = 20
     hidden_dim: int = 288
@@ -360,14 +379,23 @@ class KinematicDetectorTransformer(nn.Module):
             self.query_embed_meta[None], (b, self.num_queries, d)
         ).astype(det_emb.dtype)
         if t > 0:
+            split = self.trail_enc_dim if self.trail_enc_dim else d
+            meta_w = self.meta_hist_dim if self.trail_enc_dim else d
             if targets is None:
                 active = jnp.zeros((b, t), bool)
-                emb = jnp.zeros((b, t, 2 * d), det_emb.dtype)
+                emb = jnp.zeros((b, t, split + meta_w), det_emb.dtype)
             else:
                 active = targets.track_query_mask
-                emb = targets.track_query_embeds  # [B, T, 2D]
-            tq_det = jnp.where(active[..., None], emb[..., :d], 0.0)
-            tq_meta = jnp.where(active[..., None], emb[..., d:], 0.0)
+                emb = targets.track_query_embeds
+            raw_det = emb[..., :split]
+            raw_meta = emb[..., split:]
+            if self.trail_enc_dim:
+                tq_det = nn.Dense(d, name="track_proj_det")(raw_det)
+                tq_meta = nn.Dense(d, name="track_proj_meta")(raw_meta)
+            else:
+                tq_det, tq_meta = raw_det, raw_meta
+            tq_det = jnp.where(active[..., None], tq_det, 0.0)
+            tq_meta = jnp.where(active[..., None], tq_meta, 0.0)
             zeros_t = jnp.zeros((b, t, d), det_emb.dtype)
             qp_det = jnp.concatenate([zeros_t, qp_det], axis=1)
             qp_meta = jnp.concatenate([zeros_t, qp_meta], axis=1)

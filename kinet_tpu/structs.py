@@ -51,6 +51,8 @@ class Targets:
     track_query_fp_mask: jnp.ndarray  # [B, T] bool — false-positive slot
     track_query_match_ids: jnp.ndarray  # [B, T] int32 — GT slot index or -1
 
+    masks: jnp.ndarray | None = None  # [B, N, Hm, Wm] segmentation GT
+
     @classmethod
     def create(
         cls,

@@ -1,0 +1,115 @@
+"""Component-level timing on the real TPU using the scan-inside-jit trick
+(axon's block_until_ready is unreliable; a K-iteration lax.scan inside one
+jit gives honest device time per iteration)."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = 8
+
+
+def timeit(name, fn, *args):
+    @jax.jit
+    def run(*a):
+        def body(c, _):
+            out = fn(*a)
+            # fold output into carry so scan iterations are not DCE'd
+            s = sum(jnp.sum(jnp.asarray(o, jnp.float32)) for o in jax.tree_util.tree_leaves(out))
+            return c + s, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+        return c
+
+    t0 = time.perf_counter()
+    r = float(run(*args))
+    compile_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = float(run(*args))
+    dt = (time.perf_counter() - t0) / K
+    print(f"{name:40s} {dt*1e3:9.2f} ms/iter   (compile {compile_t:.0f}s)", flush=True)
+    return dt
+
+
+def main():
+    from kinet_tpu.models.backbone import Backbone
+    from kinet_tpu.ops.msda import ms_deform_attn
+
+    B, H, W = 1, 800, 1440
+    rng = np.random.default_rng(0)
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+    if which in ("all", "backbone"):
+        bb = Backbone(name_arch="resnet50", return_interm_layers=True)
+        img = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+        pad = jnp.zeros((B, H, W), bool)
+        params = jax.jit(bb.init)(jax.random.PRNGKey(0), img, pad)
+        timeit("resnet50 fp32 800x1440", lambda: bb.apply(params, img, pad))
+        img16 = img.astype(jnp.bfloat16)
+        p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        timeit("resnet50 bf16 800x1440", lambda: bb.apply(p16, img16, pad))
+
+    if which in ("all", "msda"):
+        # encoder-scale multi-frame: 8 levels, Lq = S
+        shapes = tuple(
+            (h, w)
+            for h, w in [(100, 180), (50, 90), (25, 45), (13, 23)] * 2
+        )
+        S = sum(h * w for h, w in shapes)
+        M, D, P, L = 8, 36, 4, len(shapes)
+        value = jnp.asarray(rng.normal(size=(B, S, M, D)).astype(np.float32))
+        loc = jnp.asarray(
+            rng.uniform(0, 1, size=(B, S, M, L, P, 2)).astype(np.float32)
+        )
+        aw = jnp.asarray(
+            (np.ones((B, S, M, L, P)) / (L * P)).astype(np.float32)
+        )
+        timeit(
+            f"msda enc-scale fp32 S={S} L={L}",
+            lambda: ms_deform_attn(value, shapes, loc, aw),
+        )
+        timeit(
+            f"msda enc-scale bf16 S={S} L={L}",
+            lambda: ms_deform_attn(
+                value.astype(jnp.bfloat16), shapes,
+                loc, aw,
+            ),
+        )
+        # decoder-scale: Lq = 500+100
+        Lq = 600
+        locd = jnp.asarray(
+            rng.uniform(0, 1, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+        )
+        awd = jnp.asarray((np.ones((B, Lq, M, L, P)) / (L * P)).astype(np.float32))
+        timeit(
+            f"msda dec-scale fp32 Lq={Lq}",
+            lambda: ms_deform_attn(value, shapes, locd, awd),
+        )
+
+    if which in ("all", "encoder"):
+        from kinet_tpu.models.deformable_transformer import (
+            DeformableEncoder,
+            encoder_reference_points,
+            get_valid_ratio,
+        )
+
+        shapes4 = ((100, 180), (50, 90), (25, 45), (13, 23))
+        S4 = sum(h * w for h, w in shapes4)
+        enc = DeformableEncoder(1, 288, 1024, 0.0, "relu", 4, 8, 4)
+        src = jnp.asarray(rng.normal(size=(B, S4, 288)).astype(np.float32))
+        pos = jnp.zeros_like(src)
+        vr = jnp.ones((B, 4, 2), jnp.float32)
+        pad = jnp.zeros((B, S4), bool)
+        params = jax.jit(
+            lambda k: enc.init(k, src, shapes4, vr, pos, pad)
+        )(jax.random.PRNGKey(0))
+        timeit(
+            f"1 enc layer fp32 S={S4} L=4",
+            lambda: enc.apply(params, src, shapes4, vr, pos, pad),
+        )
+
+
+if __name__ == "__main__":
+    main()
