@@ -1,0 +1,158 @@
+"""Tracking entry point (reference: src/track.py).
+
+Usage (≙ `python src/track.py with dataset_name=MOT17-02-FRCNN ...`):
+
+    python -m kinet_tpu.engine.track --config track.yaml \
+        obj_detect_checkpoint_dir=models/exp1 dataset_name=MOT17-02-FRCNN
+
+Pipeline (reference call stack, SURVEY §3.2):
+- reload the train-time config.yaml of the checkpoint to rebuild the model
+  exactly (track.py:66-70),
+- Tracker / TrackerKinematic over every sequence of TrackDatasetFactory,
+- write MOTChallenge result files, optional linear gap interpolation
+  (reference util/track_utils.py:240-272 — implemented with the evident
+  intent, the reference's version returns an undefined variable, SURVEY §8.3),
+- CLEAR-MOT + IDF1 summary over all sequences with GT.
+"""
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_config, load_saved_config, parse_cli_overrides
+from ..data.sequences import TrackDatasetFactory
+from ..models.build import build_model
+from ..structs import ImageBatch, Targets
+from ..tracking.tracker import Tracker
+from ..utils.mot_metrics import evaluate_mot_accums, format_summary, get_mot_accum
+
+
+def interpolate_tracks(tracks: dict) -> dict:
+    """Linear gap interpolation (intent of reference track_utils.py:240-272)."""
+    out = {}
+    for tid, frames in tracks.items():
+        out[tid] = dict(frames)
+        keys = sorted(frames.keys())
+        for a, b in zip(keys[:-1], keys[1:]):
+            if b - a <= 1:
+                continue
+            ba = np.asarray(frames[a]["bbox"], np.float64)
+            bb = np.asarray(frames[b]["bbox"], np.float64)
+            for f in range(a + 1, b):
+                t = (f - a) / (b - a)
+                out[tid][f] = {
+                    "bbox": (ba * (1 - t) + bb * t).astype(np.float32),
+                    "score": frames[a]["score"],
+                    "obj_ind": frames[a].get("obj_ind", -1),
+                }
+    return out
+
+
+def main_track(cfg, obj_detector_model=None):
+    seed = int(cfg.get("seed", 333))
+    np.random.seed(seed)
+
+    if obj_detector_model is None:
+        ckpt_dir = cfg.obj_detect_checkpoint_dir
+        train_cfg = load_saved_config(ckpt_dir)
+        model, criterion, postprocessors = build_model(train_cfg)
+        from ..utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        restored = mgr.restore()
+        assert restored is not None, f"no checkpoint in {ckpt_dir}"
+        params = restored["params"]
+    else:
+        model, params, postprocessors, train_cfg = obj_detector_model
+
+    from ..models.postprocess import build_postprocessors
+
+    post = build_postprocessors(train_cfg)["bbox"]
+    tracker = Tracker(
+        model,
+        params,
+        post,
+        cfg.tracker_cfg.to_dict() if isinstance(cfg.tracker_cfg, Config)
+        else dict(cfg.tracker_cfg),
+        num_object_queries=int(train_cfg.num_queries),
+        num_track_slots=int(train_cfg.get("max_track_queries", 100)),
+        hidden_dim=int(train_cfg.hidden_dim),
+        overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
+    )
+
+    dataset = TrackDatasetFactory(
+        cfg.dataset_name,
+        root_dir=cfg.data_root_dir,
+        img_transform=train_cfg.img_transform,
+    )
+
+    time_total = 0.0
+    num_frames = 0
+    accums, accum_names = [], []
+    for seq in dataset:
+        tracker.reset()
+        print(f"TRACK SEQ: {seq}", flush=True)
+        start_frame = int(cfg.frame_range.start * len(seq))
+        end_frame = int(cfg.frame_range.end * len(seq))
+        t0 = time.time()
+        results = None
+        if cfg.get("load_results_dir"):
+            results = seq.load_results(cfg.load_results_dir)
+        if not results:
+            for i in range(start_frame, end_frame):
+                tracker.step(seq[i])
+                num_frames += 1
+            results = tracker.get_results()
+        time_total += time.time() - t0
+
+        if cfg.get("interpolate", False):
+            results = interpolate_tracks(results)
+
+        if cfg.output_dir:
+            seq.write_results(
+                results, osp.join(cfg.output_dir, cfg.dataset_name)
+            )
+
+        if not seq.no_gt:
+            accums.append(get_mot_accum(results, seq))
+            accum_names.append(str(seq))
+
+        print(
+            f"NUM TRACKS: {len(results)} ReIDs: {tracker.num_reids}",
+            flush=True,
+        )
+
+    if num_frames:
+        print(
+            f"RUNTIME ALL SEQS (w/o EVAL or IMG WRITE): "
+            f"{time_total:.2f} s for {num_frames} frames "
+            f"({num_frames / max(time_total, 1e-9):.2f} Hz)",
+            flush=True,
+        )
+    if accums:
+        summary = evaluate_mot_accums(accums, accum_names)
+        print(format_summary(summary), flush=True)
+        return summary
+    return None
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="track.yaml")
+    p.add_argument("--named", nargs="*", default=[])
+    p.add_argument("overrides", nargs="*", default=[])
+    args = p.parse_args(argv)
+    cfg = load_config(
+        args.config, named=args.named,
+        overrides=parse_cli_overrides(args.overrides),
+    )
+    main_track(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Training entry point (reference: src/train.py + src/trackformer/engine.py).
+
+Usage (≙ `python src/train.py with deformable tracking ... key=value`):
+
+    python -m kinet_tpu.engine.train --config train.yaml \
+        --named train_deformable train_tracking train_mot17 \
+        lr=1e-4 output_dir=runs/exp1
+
+Structure (reference call stack, SURVEY §3.1):
+- config composition + dump to output_dir/config.yaml (train.py:24-64),
+- build model/criterion/postprocessors (train.py:82),
+- optimizer with param groups + MultiStep lr (train.py:103-124),
+- dataset + weighted sampler + loader (train.py:126-164),
+- resume with shape-adapting surgery (train.py:167-282),
+- epoch loop: jitted train step (the whole tracking two-forward step is
+  one compiled function), eval every val_interval, checkpoint + best
+  bookkeeping (train.py:295-357).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_config, parse_cli_overrides, save_config
+from ..data import build_dataset
+from ..data.loader import DataLoader, RandomSampler, WeightedRandomSampler
+from ..models.build import build_model
+from ..parallel.mesh import make_mesh, data_sharding, replicated
+from ..structs import ImageBatch, Targets
+from ..utils.checkpoint import CheckpointManager, load_for_resume
+from ..utils.logging import MetricLogger
+from .state import TrainState, build_optimizer
+from .train_step import make_train_step
+
+
+def train(cfg):
+    if cfg.output_dir:
+        save_config(cfg, cfg.output_dir)
+    np.random.seed(int(cfg.seed) + jax.process_index())
+
+    model, criterion, postprocessors = build_model(cfg)
+
+    dataset_train = build_dataset("train", cfg)
+    sampler = (
+        WeightedRandomSampler(
+            dataset_train,
+            rank=jax.process_index(),
+            world_size=jax.process_count(),
+            seed=int(cfg.seed),
+        )
+        if hasattr(dataset_train, "sample_weight")
+        else RandomSampler(
+            dataset_train,
+            rank=jax.process_index(),
+            world_size=jax.process_count(),
+            seed=int(cfg.seed),
+        )
+    )
+    n_track = int(cfg.max_track_queries) if cfg.tracking else 0
+    loader = DataLoader(
+        dataset_train,
+        batch_size=int(cfg.batch_size),
+        sampler=sampler,
+        buckets=cfg.size_buckets,
+        max_objects=int(cfg.max_objects),
+        num_track_queries=n_track,
+        hidden_dim=int(cfg.hidden_dim),
+        num_workers=int(cfg.num_workers),
+    )
+    steps_per_epoch = max(len(loader), 1)
+
+    # init params from one real batch's shapes
+    first = next(iter(loader))
+    batch0 = ImageBatch(
+        images=jnp.asarray(first["image"].images),
+        pad_mask=jnp.asarray(first["image"].pad_mask),
+    )
+    targets0 = jax.tree_util.tree_map(jnp.asarray, first["target"])
+    params = jax.jit(model.init)(jax.random.PRNGKey(int(cfg.seed)), batch0, targets0)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params / 1e6:.2f}M", flush=True)
+
+    tx = build_optimizer(cfg, params, steps_per_epoch)
+    params, opt_state, start_epoch = load_for_resume(cfg, params, tx)
+    state = TrainState.create(params, tx)
+    if opt_state is not None:
+        state = state.replace(opt_state=opt_state)
+
+    mesh = make_mesh(
+        n_data=int(cfg.mesh.data), n_model=int(cfg.mesh.model)
+    )
+    repl = replicated(mesh)
+    dsh = data_sharding(mesh)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+    step_fn = make_train_step(model, criterion, tx, cfg)
+    ckpt = (
+        CheckpointManager(cfg.output_dir, int(cfg.save_model_interval))
+        if cfg.output_dir
+        else None
+    )
+    rng = jax.random.PRNGKey(int(cfg.seed))
+
+    for epoch in range(start_epoch, int(cfg.epochs) + 1):
+        sampler.set_epoch(epoch)
+        logger = MetricLogger(
+            print_freq=int(cfg.log_interval), debug=bool(cfg.debug)
+        )
+        with mesh:
+            for batch in logger.log_every(loader, f"Epoch [{epoch}]"):
+                put = lambda t: (
+                    jax.tree_util.tree_map(
+                        lambda x: jax.device_put(jnp.asarray(x), dsh), t
+                    )
+                    if t is not None
+                    else None
+                )
+                state, losses = step_fn(
+                    state,
+                    rng,
+                    put(batch["image"]),
+                    put(batch["target"]),
+                    put(batch["prev_image"]),
+                    put(batch["prev_target"]),
+                    put(batch["prev_prev_image"]),
+                    put(batch["prev_prev_target"]),
+                )
+                scalars = {
+                    k: float(v)
+                    for k, v in losses.items()
+                    if jnp.ndim(v) == 0
+                }
+                if not np.isfinite(scalars.get("loss", 0.0)):
+                    print("Loss is NaN — stopping (reference engine.py:140-143)")
+                    sys.exit(1)
+                logger.update(**scalars)
+
+        eval_stats = None
+        if ckpt is not None:
+            ckpt.save_epoch(state, epoch, eval_stats)
+        if cfg.debug:
+            break
+    return state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="train.yaml")
+    p.add_argument("--named", nargs="*", default=[])
+    p.add_argument("overrides", nargs="*", default=[])
+    args = p.parse_args(argv)
+    cfg = load_config(
+        args.config, named=args.named,
+        overrides=parse_cli_overrides(args.overrides),
+    )
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
