@@ -46,56 +46,66 @@ def ms_deform_attn(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
+    """Scan formulation: one (level, point) pair per scan step. The naive
+    fully-vectorized form materializes [B, Lq, M, L, P, D] intermediates —
+    ~14 GB at encoder scale — and unrolls 4·L·P gathers into one giant HLO
+    (minutes of XLA compile). The scan body touches only [B, M, Lq, D]
+    tensors (tens of MB), so runtime is gather-bandwidth-bound and compile
+    is fast; autodiff of the scan yields the scatter-add backward
+    (≙ CUDA col2im, reference ms_deform_im2col_cuda.cuh:240-378)."""
     b, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
     assert l == len(spatial_shapes)
-    starts = level_start_index(spatial_shapes)
+    starts = jnp.asarray(level_start_index(spatial_shapes), jnp.int32)
+    h_arr = jnp.asarray([sh[0] for sh in spatial_shapes], jnp.int32)
+    w_arr = jnp.asarray([sh[1] for sh in spatial_shapes], jnp.int32)
 
-    hw = jnp.asarray(spatial_shapes, jnp.float32)  # [L, 2] (H, W)
-    h_l, w_l = hw[:, 0], hw[:, 1]
+    value_t = value.transpose(0, 2, 1, 3)  # [B, M, S, D]
+    compute_dtype = value.dtype
 
-    # grid_sample(align_corners=False): pixel = loc * size - 0.5
-    x = sampling_locations[..., 0] * w_l[None, None, None, :, None] - 0.5
-    y = sampling_locations[..., 1] * h_l[None, None, None, :, None] - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
+    # [L*P, B, M, Lq, ...] scan layout
+    loc_s = sampling_locations.transpose(3, 4, 0, 2, 1, 5).reshape(
+        l * p, b, m, lq, 2
+    )
+    aw_s = attention_weights.transpose(3, 4, 0, 2, 1).reshape(l * p, b, m, lq)
+    lvl_ids = jnp.repeat(jnp.arange(l, dtype=jnp.int32), p)
 
-    # value laid out head-major for a single gather axis: [B, M, S, D]
-    value_t = value.transpose(0, 2, 1, 3)
+    def step(acc, inp):
+        loc_i, aw_i, lvl = inp
+        hf = h_arr[lvl].astype(jnp.float32)
+        wf = w_arr[lvl].astype(jnp.float32)
+        wi = w_arr[lvl]
+        hi = h_arr[lvl]
+        st = starts[lvl]
+        # grid_sample(align_corners=False): pixel = loc * size - 0.5
+        x = loc_i[..., 0] * wf - 0.5
+        y = loc_i[..., 1] * hf - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        sample = jnp.zeros((b, m, lq, d), compute_dtype)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = x0 + dx
+                yi = y0 + dy
+                w_bilin = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
+                inside = (
+                    (xi >= 0) & (xi <= wf - 1) & (yi >= 0) & (yi <= hf - 1)
+                )
+                xi_c = jnp.clip(xi.astype(jnp.int32), 0, wi - 1)
+                yi_c = jnp.clip(yi.astype(jnp.int32), 0, hi - 1)
+                idx = st + yi_c * wi + xi_c  # [B, M, Lq]
+                g = jnp.take_along_axis(
+                    value_t, idx[..., None], axis=2
+                )  # [B, M, Lq, D]
+                wgt = (w_bilin * inside.astype(jnp.float32)).astype(
+                    compute_dtype
+                )
+                sample = sample + wgt[..., None] * g
+        return acc + aw_i.astype(compute_dtype)[..., None] * sample, None
 
-    starts_arr = jnp.asarray(starts, jnp.int32)[None, None, None, :, None]
-    h_i = jnp.asarray([sh[0] for sh in spatial_shapes], jnp.int32)[
-        None, None, None, :, None
-    ]
-    w_i = jnp.asarray([sh[1] for sh in spatial_shapes], jnp.int32)[
-        None, None, None, :, None
-    ]
-
-    out = jnp.zeros((b, lq, m, d), jnp.float32)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            xi = x0 + dx
-            yi = y0 + dy
-            w_bilin = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
-            xi_c = jnp.clip(xi.astype(jnp.int32), 0, w_i - 1)
-            yi_c = jnp.clip(yi.astype(jnp.int32), 0, h_i - 1)
-            inside = (
-                (xi >= 0) & (xi <= (w_i - 1).astype(jnp.float32))
-                & (yi >= 0) & (yi <= (h_i - 1).astype(jnp.float32))
-            )
-            idx = starts_arr + yi_c * w_i + xi_c  # [B, Lq, M, L, P]
-            # gather: [B, M, Lq*L*P, D]
-            idx_g = idx.transpose(0, 2, 1, 3, 4).reshape(b, m, lq * l * p)
-            g = jnp.take_along_axis(
-                value_t, idx_g[..., None], axis=2
-            )  # [B, M, Lq*L*P, D]
-            g = g.reshape(b, m, lq, l, p, d).transpose(0, 2, 1, 3, 4, 5)
-            contrib = (
-                w_bilin * inside.astype(jnp.float32) * attention_weights
-            )[..., None] * g
-            out = out + jnp.sum(contrib, axis=(3, 4))
-
-    return out.reshape(b, lq, m * d)
+    acc0 = jnp.zeros((b, m, lq, d), compute_dtype)
+    acc, _ = jax.lax.scan(step, acc0, (loc_s, aw_s, lvl_ids))
+    return acc.transpose(0, 2, 1, 3).reshape(b, lq, m * d).astype(jnp.float32)
 
 
 def ms_deform_attn_loop(
