@@ -136,11 +136,17 @@ def build_model(cfg):
     if cfg.masks:
         losses.append("masks")
 
+    matcher_kind = (
+        "ordered_encoder"
+        if cfg.get("kine", False) and cfg.get("use_encoder_only", False)
+        else "hungarian"
+    )
     criterion = SetCriterion(
         num_classes=num_classes,
         weight_dict=build_weight_dict(cfg),
         eos_coef=cfg.eos_coef,
         losses=losses,
+        matcher_kind=matcher_kind,
         focal_loss=cfg.focal_loss,
         focal_alpha=cfg.focal_alpha,
         focal_gamma=cfg.focal_gamma,

@@ -88,6 +88,7 @@ class SetCriterion:
         cost_class: float = 1.0,
         cost_bbox: float = 5.0,
         cost_giou: float = 2.0,
+        matcher_kind: str = "hungarian",
     ):
         self.num_classes = num_classes
         self.weight_dict = weight_dict
@@ -101,9 +102,16 @@ class SetCriterion:
         self.cost_class = cost_class
         self.cost_bbox = cost_bbox
         self.cost_giou = cost_giou
+        self.matcher_kind = matcher_kind
 
     # --- matching -------------------------------------------------------
     def match(self, outputs, targets):
+        if self.matcher_kind == "ordered_encoder":
+            # encoder-only KineT: targets own their trail-slot predictions
+            # (reference build_matcher dispatch, matcher.py:685-712)
+            from .matcher import ordered_match_from_track_ids
+
+            return ordered_match_from_track_ids(targets)
         return hungarian_match(
             outputs["pred_logits"],
             outputs["pred_boxes"],

@@ -512,12 +512,15 @@ class KinematicDetectorEncoder(nn.Module):
             src_det, src_meta, pos, src_key_pad_mask=pad,
             deterministic=deterministic,
         )
-        hs = (enc_det + enc_meta)[:, :t]  # read trail rows
+        # all rows are predictions: [T trail slots | N detection slots] —
+        # training supervises trail rows (ordered matcher), inference reads
+        # new objects off the detection rows (reference detr.py:471-556)
+        hs = enc_det + enc_meta
         logits = self.class_embed(hs)
         boxes = jax.nn.sigmoid(self.bbox_embed(hs))
         return {
             "pred_logits": logits,
             "pred_boxes": boxes,
             "hs_embed": hs,
-            "query_valid": active,
+            "query_valid": ~pad,
         }

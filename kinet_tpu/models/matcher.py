@@ -154,3 +154,74 @@ def box_match(
     n_idx = jnp.arange(cost.shape[1])[None, :]
     chosen_cost = cost[b_idx, n_idx, jnp.clip(det4gt, 0)]
     return jnp.where((det4gt >= 0) & (chosen_cost < BIG / 2), det4gt, -1)
+
+
+def ordered_match_from_track_ids(targets) -> jnp.ndarray:
+    """Ordered matcher for the encoder-only KineT variant (reference
+    OrderDetectionsMatcherEncoder, matcher.py:540-682): predictions live at
+    the trail slots, and the kine augmentation already records which target
+    each slot owns (track_query_match_ids) — so the assignment is a direct
+    inversion of match_ids into query4target [B, N]."""
+    n = targets.labels.shape[1]
+    mids = jnp.where(
+        targets.track_query_mask & ~targets.track_query_fp_mask,
+        targets.track_query_match_ids,
+        n,
+    )  # [B, T]
+    b, t = mids.shape
+    q4t = jnp.full((b, n), -1, jnp.int32)
+    slot_ids = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    q4t = q4t.at[jnp.arange(b)[:, None], mids].set(slot_ids, mode="drop")
+    return jnp.where(targets.valid, q4t, -1)
+
+
+def ordered_match_transformer(
+    targets,
+    detections: jnp.ndarray,
+    det_valid: jnp.ndarray,
+    num_track_slots: int,
+    n_assign: int = 1,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+) -> jnp.ndarray:
+    """Positional matcher for ordered-query KineT transformers (reference
+    OrderDetectionsMatcherTransformer1/2, matcher.py:205-537): detections
+    are matched to GT by box cost (threshold max_cost = 0.6*cost_bbox -
+    0.1*cost_giou), then target n's prediction is the first query of its
+    detection's positional group; a track query owning target n overrides
+    the positional slot (reference :355-376)."""
+    det4gt = box_match(detections, det_valid, targets.boxes, targets.valid,
+                       cost_bbox=cost_bbox, cost_giou=cost_giou)
+    # threshold: drop matches whose cost exceeded max_cost -> box_match
+    # already drops BIG cells; apply the reference's tighter max_cost
+    b_idx = jnp.arange(det4gt.shape[0])[:, None]
+    d = jnp.take_along_axis(detections, jnp.clip(det4gt, 0)[..., None], axis=1)
+    l1 = jnp.sum(jnp.abs(d - targets.boxes), axis=-1)
+    from ..ops.boxes import box_cxcywh_to_xyxy, elementwise_box_iou
+
+    giou = elementwise_box_iou(
+        box_cxcywh_to_xyxy(d), box_cxcywh_to_xyxy(targets.boxes)
+    )
+    cost = cost_bbox * l1 - cost_giou * giou
+    max_cost = -cost_giou * 0.1 + cost_bbox * 0.6
+    det4gt = jnp.where((det4gt >= 0) & (cost < max_cost), det4gt, -1)
+
+    q4t = jnp.where(det4gt >= 0, num_track_slots + det4gt * n_assign, -1)
+    # track-query override
+    t = targets.num_track_slots
+    if t > 0:
+        mids = jnp.where(
+            targets.track_query_mask & ~targets.track_query_fp_mask,
+            targets.track_query_match_ids,
+            targets.labels.shape[1],
+        )
+        b, _ = mids.shape
+        slot_ids = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[None], (b, t)
+        )
+        override = jnp.full_like(q4t, -1)
+        override = override.at[jnp.arange(b)[:, None], mids].set(
+            slot_ids, mode="drop"
+        )
+        q4t = jnp.where(override >= 0, override, q4t)
+    return jnp.where(targets.valid, q4t, -1)

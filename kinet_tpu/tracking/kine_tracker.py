@@ -1,0 +1,293 @@
+"""Kinematic online tracker (reference:
+src/trackformer/models/tracker.py:580-1053, TrackerKinematic + TrackKinematic).
+
+Image-free tracking: per frame the model consumes the external detections
+(KineBatch) and sine-encoded trails of each live/inactive track as track
+queries. State per track is a fixed-length trail of normalized cxcywh
+positions + a metadata (confidence) trail; new tracks start from a
+pseudo-trail of their detection repeated (reference generate_new_tracks,
+:892-920). No embed reid / masks / attention maps (reference parity).
+
+The reference's `repeat_last_pos` vs `repeat_last_state` naming drift
+(SURVEY §8.8 — AttributeError for inactive kinematic tracks) is fixed by
+a single `repeat_last_state` implementation.
+"""
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import nms_numpy
+from ..structs import KineBatch, Targets
+from .kine_augment import sine_encode_trail
+from .tracker import Tracker, box_xyxy_to_cxcywh_np, clip_boxes_np
+
+
+def pseudo_trail(rel_box: np.ndarray, n_frames: int) -> np.ndarray:
+    """Repeat a relative box over the trail (reference
+    generate_pseudo_tracklets)."""
+    return np.tile(rel_box[None], (n_frames, 1)).astype(np.float32)
+
+
+@dataclass
+class TrackKinematic:
+    id: int
+    pos: np.ndarray  # xyxy absolute
+    pos_rel: np.ndarray  # cxcywh normalized
+    score: float
+    obj_ind: int
+    trail: deque = field(default_factory=deque)  # of pos_rel
+    meta_trail: deque = field(default_factory=deque)  # of metadata rows
+    count_inactive: int = 0
+    count_termination: int = 0
+
+    def has_positive_area(self):
+        return bool(self.pos[2] > self.pos[0] and self.pos[3] > self.pos[1])
+
+    def update_state(self, pos, pos_rel, score, metadata):
+        self.pos = pos
+        self.pos_rel = pos_rel
+        self.score = float(score)
+        self.trail.append(np.asarray(pos_rel))
+        self.meta_trail.append(np.asarray(metadata))
+
+    def repeat_last_state(self):
+        if self.trail:
+            self.trail.append(self.trail[-1])
+            self.meta_trail.append(self.meta_trail[-1])
+
+    def get_trail(self, n_frames: int):
+        """Last n positions, padded at the front with the oldest
+        (reference Track.get_tracklets, tracker.py:1026-1045)."""
+        trail = list(self.trail)[-n_frames:]
+        meta = list(self.meta_trail)[-n_frames:]
+        while len(trail) < n_frames:
+            trail.insert(0, trail[0] if trail else self.pos_rel)
+            meta.insert(0, meta[0] if meta else np.zeros_like(meta[0]))
+        return np.stack(trail), np.stack(meta)
+
+
+class TrackerKinematic(Tracker):
+    def __init__(
+        self,
+        model,
+        params,
+        postprocess,
+        tracker_cfg: dict,
+        num_object_queries: int,
+        num_track_slots: int,
+        trail_len: int,
+        trail_enc_dim: int,
+        meta_dim: int = 1,
+        n_classes: int = 1,
+        overflow_boxes: bool = False,
+        logger=None,
+    ):
+        super().__init__(
+            model, params, postprocess, tracker_cfg,
+            num_object_queries, num_track_slots,
+            hidden_dim=trail_len * 4 * trail_enc_dim + trail_len * meta_dim,
+            overflow_boxes=overflow_boxes, logger=logger,
+        )
+        self.trail_len = trail_len
+        self.trail_enc_dim = trail_enc_dim
+        self.meta_dim = meta_dim
+        self.n_classes = n_classes
+
+        @jax.jit
+        def fwd(params, kb, targets, orig_size):
+            out = model.apply(params, kb, targets)
+            res = postprocess(out, orig_size)
+            return {
+                "scores": res["scores"],
+                "labels": res["labels"],
+                "boxes": res["boxes"],
+                "rel_boxes": out["pred_boxes"],
+            }
+
+        self._fwd_kine = fwd
+
+    def _encode_trails(self, tracks):
+        t_slots = self.num_track_slots
+        e = self.hidden_dim
+        embeds = np.zeros((1, t_slots, e), np.float32)
+        mask = np.zeros((1, t_slots), bool)
+        n = min(len(tracks), t_slots)
+        if n:
+            trails = np.stack([t.get_trail(self.trail_len)[0] for t in tracks[:n]])
+            metas = np.stack([t.get_trail(self.trail_len)[1] for t in tracks[:n]])
+            enc = np.asarray(
+                sine_encode_trail(
+                    jnp.asarray(trails.reshape(n, self.trail_len * 4)),
+                    self.trail_enc_dim,
+                )
+            )
+            embeds[0, :n] = np.concatenate(
+                [enc, metas[:, :, : self.meta_dim].reshape(n, -1)], axis=-1
+            )
+            mask[0, :n] = True
+        return embeds, mask, n
+
+    def step(self, blob: dict):
+        """blob: detections [K, 4] cxcywh normalized, metadata [K, M],
+        orig_size (h, w)."""
+        self.inactive_tracks = [
+            t
+            for t in self.inactive_tracks
+            if t.has_positive_area() and t.count_inactive <= self.inactive_patience
+        ]
+        h0, w0 = blob["orig_size"]
+        t_slots = self.num_track_slots
+        all_tracks = (self.tracks + self.inactive_tracks)[:t_slots]
+
+        embeds, mask, num_prev = self._encode_trails(all_tracks)
+
+        max_det = blob.get("max_detections", 60)
+        k = len(blob["detections"])
+        dets = np.zeros((1, max_det, 4), np.float32)
+        meta = np.zeros((1, max_det, self.meta_dim), np.float32)
+        det_pad = np.ones((1, max_det), bool)
+        kk = min(k, max_det)
+        if kk:
+            dets[0, :kk] = blob["detections"][:kk, :4]
+            meta[0, :kk] = np.asarray(blob["metadata"])[:kk, : self.meta_dim]
+            det_pad[0, :kk] = False
+        kb = KineBatch(
+            detections=jnp.asarray(dets),
+            metadata=jnp.asarray(meta),
+            pad_mask=jnp.asarray(det_pad),
+        )
+        targets = Targets.create(
+            jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1, 1), bool),
+            num_track_queries=t_slots, hidden_dim=self.hidden_dim,
+        ).replace(
+            track_query_embeds=jnp.asarray(embeds),
+            track_query_mask=jnp.asarray(mask),
+        )
+        orig_size = jnp.asarray([[float(h0), float(w0)]], jnp.float32)
+        res = self._fwd_kine(self.params, kb, targets, orig_size)
+        scores = np.asarray(res["scores"][0])
+        labels = np.asarray(res["labels"][0])
+        boxes_abs = np.asarray(res["boxes"][0])
+        rel = np.asarray(res["rel_boxes"][0])
+        if not self.overflow_boxes:
+            boxes_abs = clip_boxes_np(boxes_abs, (h0, w0))
+            rel = rel.clip(0.0, 1.0)
+
+        # ----- track rows -----
+        if num_prev:
+            tr_scores = scores[:t_slots]
+            tr_boxes = boxes_abs[:t_slots]
+            tr_rel = rel[:t_slots]
+            tr_labels = labels[:t_slots]
+            keep = (tr_scores > self.track_obj_score_thresh) & (
+                tr_labels < self.n_classes
+            )
+            to_inactive, from_inactive = [], []
+            for i, tr in enumerate(self.tracks):
+                if i >= num_prev:
+                    break
+                if keep[i]:
+                    tr.update_state(
+                        tr_boxes[i], tr_rel[i], tr_scores[i],
+                        np.array([tr_scores[i], tr_labels[i]])[: self.meta_dim],
+                    )
+                    tr.count_termination = 0
+                else:
+                    tr.count_termination += 1
+                    if tr.count_termination >= self.steps_termination:
+                        to_inactive.append(tr)
+            keep_reid = (tr_scores > self.reid_score_thresh) & (
+                tr_labels < self.n_classes
+            )
+            for i, tr in enumerate(self.inactive_tracks):
+                row = len(self.tracks) + i
+                if row >= num_prev:
+                    break
+                if keep_reid[row]:
+                    tr.update_state(
+                        tr_boxes[row], tr_rel[row], tr_scores[row],
+                        np.array([tr_scores[row], tr_labels[row]])[: self.meta_dim],
+                    )
+                    tr.count_inactive = 0
+                    from_inactive.append(tr)
+            self.num_reids += len(from_inactive)
+            for tr in from_inactive:
+                self.inactive_tracks.remove(tr)
+                self.tracks.append(tr)
+            self.tracks = [t for t in self.tracks if t not in to_inactive]
+            for t in to_inactive:
+                t.repeat_last_state()
+            self.inactive_tracks += to_inactive
+
+            if self.track_nms_thresh and self.tracks:
+                tb = np.stack([t.pos for t in self.tracks])
+                ts = np.array([t.score for t in self.tracks])
+                keep_idx = set(nms_numpy(tb, ts, self.track_nms_thresh).tolist())
+                self.tracks = [
+                    t for i, t in enumerate(self.tracks) if i in keep_idx
+                ]
+
+        # ----- new detections (rows after the track slots) -----
+        nd_scores = scores[t_slots:]
+        nd_labels = labels[t_slots:]
+        nd_boxes = boxes_abs[t_slots:]
+        nd_rel = rel[t_slots:]
+        keep = (nd_scores > self.detection_obj_score_thresh) & (
+            nd_labels < self.n_classes
+        )
+        nd_inds = np.nonzero(keep)[0]
+        nd_boxes, nd_scores, nd_rel, nd_labels = (
+            nd_boxes[keep], nd_scores[keep], nd_rel[keep], nd_labels[keep]
+        )
+        pmask = self.public_detections_mask(
+            nd_boxes, np.asarray(blob.get("dets", np.zeros((0, 4))))
+        )
+        nd_boxes, nd_scores, nd_rel, nd_labels, nd_inds = (
+            nd_boxes[pmask], nd_scores[pmask], nd_rel[pmask],
+            nd_labels[pmask], nd_inds[pmask],
+        )
+
+        new_ids = []
+        for i in range(len(nd_boxes)):
+            tr = TrackKinematic(
+                id=self.track_num + i,
+                pos=nd_boxes[i],
+                pos_rel=nd_rel[i],
+                score=float(nd_scores[i]),
+                obj_ind=int(nd_inds[i]),
+            )
+            meta_row = np.array([nd_scores[i], nd_labels[i] / max(self.n_classes, 1)])[
+                : self.meta_dim
+            ]
+            for p in pseudo_trail(nd_rel[i], self.trail_len):
+                tr.trail.append(p)
+                tr.meta_trail.append(meta_row)
+            self.tracks.append(tr)
+            new_ids.append(tr.id)
+        self.track_num += len(new_ids)
+
+        if self.detection_nms_thresh and self.tracks:
+            tb = np.stack([t.pos for t in self.tracks])
+            ts = np.array([t.score for t in self.tracks])
+            new_mask = np.array([t.id in new_ids for t in self.tracks])
+            ts = np.where(~new_mask, np.inf, ts)
+            keep_idx = set(nms_numpy(tb, ts, self.detection_nms_thresh).tolist())
+            self.tracks = [t for i, t in enumerate(self.tracks) if i in keep_idx]
+
+        for t in self.tracks:
+            self.results.setdefault(t.id, {})
+            bbox = t.pos if self.overflow_boxes else clip_boxes_np(t.pos, (h0, w0))
+            self.results[t.id][self.frame_index] = {
+                "bbox": np.asarray(bbox, np.float32),
+                "score": float(t.score),
+                "obj_ind": int(t.obj_ind),
+            }
+        for t in self.inactive_tracks:
+            t.count_inactive += 1
+        self.frame_index += 1

@@ -43,7 +43,7 @@ def main():
 
     if which in ("all", "backbone"):
         bb = Backbone(name_arch="resnet50", return_interm_layers=True)
-        img = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+        img = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, 3), jnp.float32)
         pad = jnp.zeros((B, H, W), bool)
         params = jax.jit(bb.init)(jax.random.PRNGKey(0), img, pad)
         timeit("resnet50 fp32 800x1440", lambda: bb.apply(params, img, pad))
@@ -52,20 +52,15 @@ def main():
         timeit("resnet50 bf16 800x1440", lambda: bb.apply(p16, img16, pad))
 
     if which in ("all", "msda"):
-        # encoder-scale multi-frame: 8 levels, Lq = S
-        shapes = tuple(
-            (h, w)
-            for h, w in [(100, 180), (50, 90), (25, 45), (13, 23)] * 2
-        )
+        # encoder-scale, single separate-frame encoder: 4 levels, Lq = S.
+        # Device-side data (host->TPU transfer via the tunnel is slow).
+        shapes = ((100, 180), (50, 90), (25, 45), (13, 23))
         S = sum(h * w for h, w in shapes)
         M, D, P, L = 8, 36, 4, len(shapes)
-        value = jnp.asarray(rng.normal(size=(B, S, M, D)).astype(np.float32))
-        loc = jnp.asarray(
-            rng.uniform(0, 1, size=(B, S, M, L, P, 2)).astype(np.float32)
-        )
-        aw = jnp.asarray(
-            (np.ones((B, S, M, L, P)) / (L * P)).astype(np.float32)
-        )
+        k = jax.random.PRNGKey(0)
+        value = jax.random.normal(k, (B, S, M, D), jnp.float32)
+        loc = jax.random.uniform(k, (B, S, M, L, P, 2), jnp.float32)
+        aw = jnp.full((B, S, M, L, P), 1.0 / (L * P), jnp.float32)
         timeit(
             f"msda enc-scale fp32 S={S} L={L}",
             lambda: ms_deform_attn(value, shapes, loc, aw),
@@ -79,10 +74,8 @@ def main():
         )
         # decoder-scale: Lq = 500+100
         Lq = 600
-        locd = jnp.asarray(
-            rng.uniform(0, 1, size=(B, Lq, M, L, P, 2)).astype(np.float32)
-        )
-        awd = jnp.asarray((np.ones((B, Lq, M, L, P)) / (L * P)).astype(np.float32))
+        locd = jax.random.uniform(k, (B, Lq, M, L, P, 2), jnp.float32)
+        awd = jnp.full((B, Lq, M, L, P), 1.0 / (L * P), jnp.float32)
         timeit(
             f"msda dec-scale fp32 Lq={Lq}",
             lambda: ms_deform_attn(value, shapes, locd, awd),
@@ -98,7 +91,7 @@ def main():
         shapes4 = ((100, 180), (50, 90), (25, 45), (13, 23))
         S4 = sum(h * w for h, w in shapes4)
         enc = DeformableEncoder(1, 288, 1024, 0.0, "relu", 4, 8, 4)
-        src = jnp.asarray(rng.normal(size=(B, S4, 288)).astype(np.float32))
+        src = jax.random.normal(jax.random.PRNGKey(0), (B, S4, 288), jnp.float32)
         pos = jnp.zeros_like(src)
         vr = jnp.ones((B, 4, 2), jnp.float32)
         pad = jnp.zeros((B, S4), bool)
