@@ -63,21 +63,22 @@ def main():
 
     ITERS = 10
 
-    def one_frame(carry, _):
-        feats = carry
-        out = model.apply(params, batch, targets, prev_features=feats)
-        return out["frame_features"], jnp.sum(out["pred_boxes"])
-
     @jax.jit
     def fwd_once(params, batch, targets):
         out = model.apply(params, batch, targets, prev_features=None)
         return out["frame_features"]
 
     @jax.jit
-    def run_frames(feats):
+    def run_frames(params, batch, targets, feats):
         # K tracker frames chained through prev_features inside ONE compiled
         # graph: a single dispatch + sync, so remote-tunnel latency and
-        # async-dispatch artifacts cannot distort the timing
+        # async-dispatch artifacts cannot distort the timing. Everything is
+        # a jit ARGUMENT — closures would bake 160MB of params in as XLA
+        # constants (compile explosion).
+        def one_frame(carry, _):
+            out = model.apply(params, batch, targets, prev_features=carry)
+            return out["frame_features"], jnp.sum(out["pred_boxes"])
+
         feats, sums = jax.lax.scan(one_frame, feats, None, length=ITERS)
         return jnp.sum(sums)
 
@@ -87,11 +88,11 @@ def main():
     log(f"compile fwd_once: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    s = float(run_frames(feats))
+    s = float(run_frames(params, batch, targets, feats))
     log(f"compile run_frames (+1st run): {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    s = float(run_frames(feats))
+    s = float(run_frames(params, batch, targets, feats))
     dt = time.perf_counter() - t0
     log(f"checksum: {s}")
     fps = ITERS * b / dt

@@ -1,0 +1,198 @@
+"""MOT -> COCO-json converter (reference: src/generate_coco_from_mot.py).
+
+Produces the extended COCO jsons the MOT datasets consume, with the extra
+fields the reference adds (generate_coco_from_mot.py:36-262): per-image
+`seq_length`, `first_frame_image_id`, `frame_id`; per-annotation
+`track_id`, `seq`, `ignore` (from gt class/visibility rules); plus a
+top-level `sequences` list and `frame_range`. Also:
+- cross-validation splits by sequence or frame range (:583-598),
+- detections->COCO json for KineT (`generate_det_json_from_mot`).
+
+Usage:
+    python -m kinet_tpu.tools.generate_coco_from_mot \
+        --mot-dir data/MOT17 --split train --out data/MOT17/annotations
+"""
+from __future__ import annotations
+
+import argparse
+import configparser
+import csv
+import json
+import os
+import os.path as osp
+
+VIS_THRESHOLD = 0.25
+
+
+def _read_seqinfo(seq_path):
+    cfg = configparser.ConfigParser()
+    cfg.read(osp.join(seq_path, "seqinfo.ini"))
+    s = cfg["Sequence"]
+    return {
+        "name": s["name"],
+        "img_dir": s["imDir"],
+        "seq_length": int(s["seqLength"]),
+        "width": int(s["imWidth"]),
+        "height": int(s["imHeight"]),
+        "ext": s.get("imExt", ".jpg"),
+    }
+
+
+def generate_coco_from_mot(
+    mot_dir: str,
+    split: str = "train",
+    seqs: list[str] | None = None,
+    frame_range=(0.0, 1.0),
+    vis_threshold: float = VIS_THRESHOLD,
+):
+    """Returns the COCO dict for the given sequences."""
+    base = osp.join(mot_dir, "train")
+    if seqs is None:
+        seqs = sorted(os.listdir(base))
+    images, annotations = [], []
+    img_id = 0
+    ann_id = 0
+    for seq in seqs:
+        seq_path = osp.join(base, seq)
+        info = _read_seqinfo(seq_path)
+        start = int(frame_range[0] * info["seq_length"])
+        end = int(frame_range[1] * info["seq_length"])
+        first_image_id = img_id
+        for f in range(start, end):
+            images.append(
+                {
+                    "id": img_id,
+                    "file_name": f"{seq}_{f + 1:06d}{info['ext']}",
+                    "height": info["height"],
+                    "width": info["width"],
+                    "frame_id": f - start,
+                    "first_frame_image_id": first_image_id,
+                    "seq_length": end - start,
+                    "seq": seq,
+                }
+            )
+            img_id += 1
+
+        gt_file = osp.join(seq_path, "gt", "gt.txt")
+        if osp.exists(gt_file):
+            for row in csv.reader(open(gt_file)):
+                frame = int(row[0]) - 1
+                if not (start <= frame < end):
+                    continue
+                cls = int(row[7]) if len(row) > 7 else 1
+                conf = int(row[6]) if len(row) > 6 else 1
+                vis = float(row[8]) if len(row) > 8 else 1.0
+                # pedestrian-ish classes; distractors become ignore
+                # (reference :139-187)
+                if cls not in (1, 2, 7, 8, 12):
+                    continue
+                ignore = (
+                    cls in (2, 7, 8, 12) or conf == 0 or vis < vis_threshold
+                )
+                x, y, w, h = (float(row[2]) - 1, float(row[3]) - 1,
+                              float(row[4]), float(row[5]))
+                annotations.append(
+                    {
+                        "id": ann_id,
+                        "image_id": first_image_id + (frame - start),
+                        "category_id": 1,
+                        "bbox": [x, y, w, h],
+                        "area": w * h,
+                        "iscrowd": 0,
+                        "ignore": int(ignore),
+                        "track_id": int(row[1]),
+                        "seq": seq,
+                        "visibility": vis,
+                    }
+                )
+                ann_id += 1
+    return {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}],
+        "sequences": seqs,
+        "frame_range": {"start": frame_range[0], "end": frame_range[1]},
+    }
+
+
+def generate_det_json_from_mot(
+    mot_dir: str, seqs: list[str], gt_json: dict
+) -> dict:
+    """Public det.txt files -> COCO detections json aligned with gt image
+    ids (reference generate_det_json_from_mot)."""
+    img_by_key = {
+        (im["seq"], im["frame_id"]): im["id"] for im in gt_json["images"]
+    }
+    annotations = []
+    ann_id = 0
+    for seq in seqs:
+        det_file = osp.join(mot_dir, "train", seq, "det", "det.txt")
+        if not osp.exists(det_file):
+            continue
+        for row in csv.reader(open(det_file)):
+            frame = int(float(row[0])) - 1
+            key = (seq, frame)
+            if key not in img_by_key:
+                continue
+            x, y, w, h = (float(row[2]) - 1, float(row[3]) - 1,
+                          float(row[4]), float(row[5]))
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": img_by_key[key],
+                    "category_id": 1,
+                    "bbox": [x, y, w, h],
+                    "area": w * h,
+                    "iscrowd": 0,
+                    "confidence": float(row[6]),
+                }
+            )
+            ann_id += 1
+    return {
+        "images": gt_json["images"],
+        "annotations": annotations,
+        "categories": gt_json["categories"],
+        "sequences": gt_json["sequences"],
+    }
+
+
+def cross_val_splits(seqs: list[str], n_folds: int = 3):
+    """Leave-sequences-out folds (reference :583-598 builds seq-level and
+    frame-level cross-val splits)."""
+    folds = []
+    for i in range(n_folds):
+        val = seqs[i::n_folds]
+        train = [s for s in seqs if s not in val]
+        folds.append((train, val))
+    return folds
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mot-dir", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--out", required=True)
+    p.add_argument("--frame-range", nargs=2, type=float, default=[0.0, 1.0])
+    p.add_argument("--dets", action="store_true",
+                   help="also write det_{split}.json for KineT")
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    coco = generate_coco_from_mot(
+        args.mot_dir, args.split, frame_range=tuple(args.frame_range)
+    )
+    with open(osp.join(args.out, f"{args.split}.json"), "w") as f:
+        json.dump(coco, f)
+    if args.dets:
+        dets = generate_det_json_from_mot(
+            args.mot_dir, coco["sequences"], coco
+        )
+        with open(osp.join(args.out, f"det_{args.split}.json"), "w") as f:
+            json.dump(dets, f)
+    print(
+        f"wrote {len(coco['images'])} images / "
+        f"{len(coco['annotations'])} annotations"
+    )
+
+
+if __name__ == "__main__":
+    main()
