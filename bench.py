@@ -61,6 +61,19 @@ def main():
     jax.block_until_ready(params)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
+    # bf16 inference: params + images in bfloat16 (MXU-native, halves HBM
+    # traffic); box/score outputs come back fp32 from the heads
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        params,
+    )
+    batch = batch.replace(images=batch.images.astype(jnp.bfloat16))
+    targets = targets.replace(
+        track_query_embeds=targets.track_query_embeds.astype(jnp.bfloat16)
+    )
+
     ITERS = 10
 
     @jax.jit

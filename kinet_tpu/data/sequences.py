@@ -130,14 +130,17 @@ class MOT17Sequence:
         dets = {i: [] for i in range(1, self.seq_length + 1)}
         det_file = self.get_det_file_path()
         if det_file and osp.exists(det_file):
-            for row in csv.reader(open(det_file), delimiter=","):
-                x1 = float(row[2]) - 1
-                y1 = float(row[3]) - 1
-                x2 = x1 + float(row[4]) - 1
-                y2 = y1 + float(row[5]) - 1
-                dets[int(float(row[0]))].append(
-                    np.array([x1, y1, x2, y2, float(row[6])], np.float32)
-                )
+            from .. import native
+
+            rows = native.parse_mot_csv(det_file)  # C++ fast path
+            for frame, _, x, y, w, h, conf in rows:
+                x1, y1 = x - 1, y - 1
+                x2, y2 = x1 + w - 1, y1 + h - 1
+                f = int(frame)
+                if f in dets:
+                    dets[f].append(
+                        np.array([x1, y1, x2, y2, conf], np.float32)
+                    )
         img_dir = osp.join(self.get_seq_path(), self.config["Sequence"]["imDir"])
         boxes, vis = self.get_track_boxes_and_visbility()
         return [
