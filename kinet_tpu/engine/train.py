@@ -91,9 +91,15 @@ def train(cfg):
     if opt_state is not None:
         state = state.replace(opt_state=opt_state)
 
-    mesh = make_mesh(
-        n_data=int(cfg.mesh.data), n_model=int(cfg.mesh.model)
-    )
+    n_model = int(cfg.mesh.model)
+    n_data = int(cfg.mesh.data)
+    if n_data == -1:
+        n_data = len(jax.devices()) // n_model
+    # the global batch must shard evenly over the data axis
+    import math as _math
+
+    n_data = _math.gcd(n_data, int(cfg.batch_size)) or 1
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
     repl = replicated(mesh)
     dsh = data_sharding(mesh)
     state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
@@ -141,6 +147,35 @@ def train(cfg):
                 logger.update(**scalars)
 
         eval_stats = None
+        if (
+            int(cfg.val_interval) > 0
+            and epoch % int(cfg.val_interval) == 0
+            and not cfg.eval_only
+        ):
+            try:
+                from .evaluate import evaluate
+
+                dataset_val = build_dataset("val", cfg)
+                stats = evaluate(
+                    model, criterion, postprocessors, state.params,
+                    dataset_val, cfg,
+                )
+                eval_stats = {
+                    "AP": stats["coco_eval_bbox"][0],
+                    "AP50": stats["coco_eval_bbox"][1],
+                    "mota": stats.get("mota"),
+                    "idf1": stats.get("idf1"),
+                }
+                if cfg.output_dir:
+                    import json
+                    import os.path as osp
+
+                    with open(
+                        osp.join(cfg.output_dir, "metrics.jsonl"), "a"
+                    ) as f:
+                        f.write(json.dumps({"epoch": epoch, **eval_stats}) + "\n")
+            except FileNotFoundError as e:
+                print(f"eval skipped (no val data): {e}")
         if ckpt is not None:
             ckpt.save_epoch(state, epoch, eval_stats)
         if cfg.debug:

@@ -30,10 +30,8 @@ pos = jnp.zeros_like(src)
 vr = jnp.ones((B, 4, 2), jnp.float32)
 pad = jnp.zeros((B, S4), bool)
 params = jax.jit(lambda kk: enc.init(kk, src, shapes4, vr, pos, pad))(k)
-timeit("encoder 6L fp32 (x2 in flagship)",
-       lambda p,s,v,po,pa: enc.apply(p, s, shapes4, v, po, pa), params, src, vr, pos, pad)
 p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-timeit("encoder 6L bf16",
+timeit("encoder 6L bf16 (x2 in flagship)",
        lambda p,s,v,po,pa: enc.apply(p, s, shapes4, v, po, pa), p16, src.astype(jnp.bfloat16), vr, pos.astype(jnp.bfloat16), pad)
 
 # decoder: 8 levels (two frames), 600 queries, 6 layers
@@ -47,6 +45,7 @@ qpos = jnp.zeros_like(tgt)
 vr8 = jnp.ones((B, 8, 2), jnp.float32)
 pad8 = jnp.zeros((B, S8), bool)
 dparams = jax.jit(lambda kk: dec.init(kk, tgt, ref, mem, shapes8, vr8, qpos, pad8))(k)
-timeit("decoder 6L fp32",
+dp16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, dparams)
+timeit("decoder 6L bf16",
        lambda p,t,r,m,v,q,pa: dec.apply(p, t, r, m, shapes8, v, q, pa),
-       dparams, tgt, ref, mem, vr8, qpos, pad8)
+       dp16, tgt.astype(jnp.bfloat16), ref, mem.astype(jnp.bfloat16), vr8, qpos.astype(jnp.bfloat16), pad8)

@@ -1,0 +1,79 @@
+"""End-to-end training session: synthetic MOT-style COCO data on disk ->
+engine.train (loader, weighted sampler, jitted tracking train step,
+checkpointing). Debug mode: 2 steps per epoch, 1 epoch."""
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from kinet_tpu.config import load_config
+from kinet_tpu.engine.train import train
+
+
+@pytest.fixture(scope="module")
+def synthetic_mot_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("motdata")
+    img_dir = root / "train"
+    ann_dir = root / "annotations"
+    img_dir.mkdir()
+    ann_dir.mkdir()
+    rng = np.random.default_rng(0)
+    n_frames = 6
+    images, annotations = [], []
+    aid = 0
+    for f in range(n_frames):
+        fname = f"SEQ-01_{f + 1:06d}.jpg"
+        arr = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / fname)
+        images.append(
+            {
+                "id": f, "file_name": fname, "height": 64, "width": 96,
+                "frame_id": f, "first_frame_image_id": 0,
+                "seq_length": n_frames, "seq": "SEQ-01",
+            }
+        )
+        for tid in (1, 2):
+            x = 10 + 4 * f + 20 * tid
+            annotations.append(
+                {
+                    "id": aid, "image_id": f, "category_id": 1,
+                    "bbox": [x, 12, 18, 30], "area": 540, "iscrowd": 0,
+                    "track_id": tid,
+                }
+            )
+            aid += 1
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}],
+        "sequences": ["SEQ-01"],
+    }
+    with open(ann_dir / "train.json", "w") as fh:
+        json.dump(coco, fh)
+    with open(ann_dir / "val.json", "w") as fh:
+        json.dump(coco, fh)
+    return str(root)
+
+
+def test_train_session(synthetic_mot_coco, tmp_path):
+    cfg = load_config("train.yaml", named=["train_tracking"]).replace(
+        dataset="mot",
+        mot_path_train=synthetic_mot_coco,
+        mot_path_val=synthetic_mot_coco,
+        backbone="resnet_test",
+        hidden_dim=32, nheads=2, enc_layers=1, dec_layers=1,
+        dim_feedforward=32, num_queries=8, max_objects=6,
+        max_track_queries=6, dropout=0.0, batch_size=2,
+        epochs=1, num_workers=1, debug=True, val_interval=0,
+        tracking_eval=False, aux_loss=False,
+        output_dir=str(tmp_path / "out"),
+        **{"img_transform.max_size": 128, "img_transform.val_width": 64,
+           "size_buckets": [[64, 96], [96, 128]], "log_interval": 1},
+    )
+    state = train(cfg)
+    assert int(state.step) >= 1
+    # checkpoint + config written
+    assert osp.exists(tmp_path / "out" / "config.yaml")
+    assert osp.exists(tmp_path / "out" / "checkpoint")
