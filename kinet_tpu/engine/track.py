@@ -117,6 +117,14 @@ def main_track(cfg, obj_detector_model=None):
             seq.write_results(
                 results, osp.join(cfg.output_dir, cfg.dataset_name)
             )
+            if cfg.get("write_images", False):
+                from ..utils.vis import plot_sequence
+
+                plot_sequence(
+                    results, seq,
+                    osp.join(cfg.output_dir, cfg.dataset_name, str(seq)),
+                    write_images=cfg.write_images,
+                )
 
         if not seq.no_gt:
             accums.append(get_mot_accum(results, seq))

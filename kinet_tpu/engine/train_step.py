@@ -23,9 +23,33 @@ def make_train_step(model, criterion, tx, cfg):
     fp_prob = float(cfg.get("track_query_false_positive_prob", 0.1))
     fn_prob = float(cfg.get("track_query_false_negative_prob", 0.4))
     backprop_prev = bool(cfg.get("track_backprop_prev_frame", False))
+    # bf16 mixed precision: fp32 master params, bf16 compute — the cast is
+    # inside the differentiated function so grads come back fp32
+    bf16 = cfg.get("compute_dtype", "float32") == "bfloat16"
 
-    def loss_fn(params, rng, batch, targets, prev_batch, prev_targets,
+    def _cast(tree):
+        if not bf16:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+    def loss_fn(master_params, rng, batch, targets, prev_batch, prev_targets,
                 prev_prev_batch, prev_prev_targets, dropout_rng):
+        params = _cast(master_params)
+        if bf16:
+            batch = batch.replace(images=batch.images.astype(jnp.bfloat16))
+            if prev_batch is not None:
+                prev_batch = prev_batch.replace(
+                    images=prev_batch.images.astype(jnp.bfloat16)
+                )
+            if prev_prev_batch is not None:
+                prev_prev_batch = prev_prev_batch.replace(
+                    images=prev_prev_batch.images.astype(jnp.bfloat16)
+                )
         if tracking and prev_batch is not None:
             out, aug_targets = tracking_train_forward(
                 model, params, rng, batch, targets, prev_batch, prev_targets,
