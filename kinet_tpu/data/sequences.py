@@ -91,6 +91,10 @@ class MOT17Sequence:
             "dets": np.asarray(
                 [d[:4] for d in data["dets"]], np.float32
             ).reshape(-1, 4),
+            "dets_conf": np.asarray(
+                [d[4] if len(d) > 4 else 1.0 for d in data["dets"]],
+                np.float32,
+            ).reshape(-1),
             "gt": data["gt"],
             "vis": data["vis"],
             "img_path": data["im_path"],

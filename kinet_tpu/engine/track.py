@@ -73,17 +73,38 @@ def main_track(cfg, obj_detector_model=None):
     from ..models.postprocess import build_postprocessors
 
     post = build_postprocessors(train_cfg)["bbox"]
-    tracker = Tracker(
-        model,
-        params,
-        post,
-        cfg.tracker_cfg.to_dict() if isinstance(cfg.tracker_cfg, Config)
-        else dict(cfg.tracker_cfg),
-        num_object_queries=int(train_cfg.num_queries),
-        num_track_slots=int(train_cfg.get("max_track_queries", 100)),
-        hidden_dim=int(train_cfg.hidden_dim),
-        overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
+    tracker_cfg = (
+        cfg.tracker_cfg.to_dict()
+        if isinstance(cfg.tracker_cfg, Config)
+        else dict(cfg.tracker_cfg)
     )
+    if cfg.get("kinet", False) or train_cfg.get("kine", False):
+        from ..tracking.kine_tracker import TrackerKinematic
+
+        trail_len = max(int(train_cfg.track_prev_frame_range), 1)
+        tracker = TrackerKinematic(
+            model,
+            params,
+            post,
+            tracker_cfg,
+            num_object_queries=int(train_cfg.num_queries),
+            num_track_slots=int(train_cfg.get("max_track_queries", 100)),
+            trail_len=trail_len,
+            trail_enc_dim=int(train_cfg.encoding_dim_tracklets),
+            meta_dim=2 if train_cfg.use_class else 1,
+            overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
+        )
+    else:
+        tracker = Tracker(
+            model,
+            params,
+            post,
+            tracker_cfg,
+            num_object_queries=int(train_cfg.num_queries),
+            num_track_slots=int(train_cfg.get("max_track_queries", 100)),
+            hidden_dim=int(train_cfg.hidden_dim),
+            overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
+        )
 
     dataset = TrackDatasetFactory(
         cfg.dataset_name,
@@ -103,9 +124,37 @@ def main_track(cfg, obj_detector_model=None):
         results = None
         if cfg.get("load_results_dir"):
             results = seq.load_results(cfg.load_results_dir)
+        kinet_mode = cfg.get("kinet", False) or train_cfg.get("kine", False)
         if not results:
             for i in range(start_frame, end_frame):
-                tracker.step(seq[i])
+                blob = seq[i]
+                if kinet_mode:
+                    # adapt image-sequence blobs to kinematic input
+                    # (≙ TrackDatasetFactoryKinet/get_sub_dataset intent,
+                    # reference factory.py:76-142 — its call signature is
+                    # broken upstream, SURVEY §8.5)
+                    h0, w0 = blob["orig_size"]
+                    d = blob["dets"]
+                    cxcywh = np.stack(
+                        [
+                            (d[:, 0] + d[:, 2]) / 2 / w0,
+                            (d[:, 1] + d[:, 3]) / 2 / h0,
+                            (d[:, 2] - d[:, 0]) / w0,
+                            (d[:, 3] - d[:, 1]) / h0,
+                        ],
+                        axis=1,
+                    ) if len(d) else np.zeros((0, 4), np.float32)
+                    blob = {
+                        "detections": cxcywh.astype(np.float32),
+                        "metadata": blob.get(
+                            "dets_conf", np.ones(len(d), np.float32)
+                        )[:, None],
+                        "orig_size": blob["orig_size"],
+                        "max_detections": int(
+                            train_cfg.max_number_detection
+                        ),
+                    }
+                tracker.step(blob)
                 num_frames += 1
             results = tracker.get_results()
         time_total += time.time() - t0
