@@ -106,8 +106,10 @@ class MSDeformAttn(nn.Module):
                 + offsets / p * reference_points[:, :, None, :, None, 2:] * 0.5
             )
 
+        # sampling core runs in the value dtype (bf16 under mixed precision);
+        # coordinates/weights stay fp32 inside the op
         out = ms_deform_attn(
-            value.astype(jnp.float32),
+            value,
             tuple(spatial_shapes),
             loc.astype(jnp.float32),
             attn.astype(jnp.float32),
