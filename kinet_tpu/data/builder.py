@@ -64,6 +64,19 @@ def build_dataset(split: str, cfg):
             ch = build_crowdhuman("train", cfg)
             return WeightedConcatDataset([mot, ch])
         return mot
+    if name == "coco_panoptic":
+        from .coco_panoptic import CocoPanoptic
+
+        split_name = "train2017" if split == "train" else "val2017"
+        root = cfg.coco_panoptic_path
+        return CocoPanoptic(
+            img_folder=osp.join(cfg.coco_path, split_name),
+            ann_folder=osp.join(root, f"panoptic_{split_name}"),
+            ann_file=osp.join(root, f"annotations/panoptic_{split_name}.json"),
+            split=split,
+            img_transform=cfg.img_transform,
+            return_masks=cfg.masks,
+        )
     if name == "mot_coco_person":
         mot = _build_mot(split, cfg)
         if split == "train":

@@ -95,6 +95,18 @@ def main_track(cfg, obj_detector_model=None):
             overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
         )
     else:
+        gen_attn = bool(cfg.get("generate_attention_maps", False))
+        if gen_attn:
+            # attention maps need the model to sow decoder cross-attn
+            # weights; vanilla DETR only (reference asserts the same,
+            # tracker.py:40-42)
+            import dataclasses
+
+            assert not train_cfg.get("deformable", False), (
+                "Generation of attention maps not possible for deformable "
+                "DETR."
+            )
+            model = dataclasses.replace(model, generate_attention_maps=True)
         tracker = Tracker(
             model,
             params,
@@ -104,6 +116,7 @@ def main_track(cfg, obj_detector_model=None):
             num_track_slots=int(train_cfg.get("max_track_queries", 100)),
             hidden_dim=int(train_cfg.hidden_dim),
             overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
+            generate_attention_maps=gen_attn,
         )
 
     dataset = TrackDatasetFactory(

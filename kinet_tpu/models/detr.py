@@ -78,6 +78,8 @@ class DETR(nn.Module):
     track_attention: bool = False
     focal_loss: bool = False
     masks: bool = False
+    generate_attention_maps: bool = False  # sow decoder cross-attn weights
+    # (≙ reference tracker.py:39-62 forward hooks; vanilla DETR only)
 
     def setup(self):
         # with masks, all 4 pyramid levels are exposed for the FPN mask head
@@ -113,6 +115,7 @@ class DETR(nn.Module):
             pre_norm=self.pre_norm,
             track_attention=self.track_attention,
             num_track_slots=self.num_track_slots,
+            sow_attention=self.generate_attention_maps,
         )
         # +1 background class for softmax CE; focal uses sigmoid w/o eos col
         out_classes = self.num_classes + (0 if self.focal_loss else 1)

@@ -34,6 +34,9 @@ class _SelfAttnBlock(nn.Module):
     num_heads: int
     d_model: int
     dropout: float
+    sow_attn: bool = False  # sow attention weights into 'intermediates'
+    # (≙ the reference's forward hooks for attention-map visualization,
+    # tracker.py:39-62)
 
     @nn.compact
     def __call__(self, src_q, src_k, src_v, mask, deterministic):
@@ -42,7 +45,10 @@ class _SelfAttnBlock(nn.Module):
             qkv_features=self.d_model,
             out_features=self.d_model,
             dropout_rate=self.dropout,
-        )(src_q, src_k, src_v, mask=mask, deterministic=deterministic)
+        )(
+            src_q, src_k, src_v, mask=mask, deterministic=deterministic,
+            sow_weights=self.sow_attn,
+        )
 
 
 def _ffn(x, dim_feedforward, d_model, dropout, activation, deterministic):
@@ -105,6 +111,7 @@ class TransformerDecoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     pre_norm: bool = False
+    sow_cross_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -129,9 +136,10 @@ class TransformerDecoderLayer(nn.Module):
         def cross_attn(x):
             q = x + query_pos if query_pos is not None else x
             k = memory + mem_pos if mem_pos is not None else memory
-            return _SelfAttnBlock(self.nheads, self.d_model, self.dropout)(
-                q, k, memory, mem_bias, deterministic
-            )
+            return _SelfAttnBlock(
+                self.nheads, self.d_model, self.dropout,
+                sow_attn=self.sow_cross_attn, name="cross_attn",
+            )(q, k, memory, mem_bias, deterministic)
 
         drop = lambda y: nn.Dropout(self.dropout, deterministic=deterministic)(y)
         if self.pre_norm:
@@ -194,6 +202,7 @@ class TransformerDecoder(nn.Module):
     return_intermediate: bool = True
     track_attention: bool = False
     num_track_slots: int = 0
+    sow_attention: bool = False  # sow last-layer cross-attn weights
 
     @nn.compact
     def __call__(
@@ -221,7 +230,11 @@ class TransformerDecoder(nn.Module):
                 tgt = jnp.concatenate([updated, tgt[:, t:]], axis=1)
             tgt = TransformerDecoderLayer(
                 self.d_model, self.nheads, self.dim_feedforward, self.dropout,
-                self.activation, self.pre_norm, name=f"layer{i}",
+                self.activation, self.pre_norm,
+                sow_cross_attn=(
+                    self.sow_attention and i == self.num_layers - 1
+                ),
+                name=f"layer{i}",
             )(
                 tgt, memory, query_pos, mem_pos, mem_key_pad_mask,
                 tgt_key_pad_mask, deterministic,
@@ -267,6 +280,7 @@ class Transformer(nn.Module):
     return_intermediate_dec: bool = True
     track_attention: bool = False
     num_track_slots: int = 0
+    sow_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -289,7 +303,8 @@ class Transformer(nn.Module):
         hs = TransformerDecoder(
             self.num_decoder_layers, self.d_model, self.nheads,
             self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
-            True, self.track_attention, self.num_track_slots, name="decoder",
+            True, self.track_attention, self.num_track_slots,
+            self.sow_attention, name="decoder",
         )(
             tgt, memory, query_pos, src_pos, src_key_pad_mask,
             tgt_key_pad_mask, deterministic,

@@ -67,6 +67,7 @@ class Track:
     count_inactive: int = 0
     count_termination: int = 0
     mask: Optional[np.ndarray] = None
+    attention_map: Optional[np.ndarray] = None
     last_pos: list = field(default_factory=list)
 
     def has_positive_area(self) -> bool:
@@ -82,23 +83,50 @@ class Track:
         self.last_pos = [self.pos.copy()]
 
 
-def make_forward_fn(model, params, postprocess):
-    """Jitted per-frame forward with padded track-query slots."""
+def make_forward_fn(model, params, postprocess, attention_maps=False):
+    """Jitted per-frame forward with padded track-query slots.
+
+    attention_maps: extract the sowed decoder cross-attention weights
+    (model built with generate_attention_maps=True) as per-query maps
+    [Q, Hf, Wf] (≙ reference forward hooks, tracker.py:39-62)."""
+
+    def _find_sowed(tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == "attention_weights":
+                    return v[0] if isinstance(v, (tuple, list)) else v
+                found = _find_sowed(v)
+                if found is not None:
+                    return found
+        return None
 
     @jax.jit
     def fwd(params, batch, targets, orig_size, prev_features):
         kwargs = {}
         if prev_features is not None or "Deformable" in type(model).__name__:
             kwargs["prev_features"] = prev_features
-        out = model.apply(params, batch, targets, **kwargs)
+        if attention_maps:
+            out, state = model.apply(
+                params, batch, targets, mutable=["intermediates"], **kwargs
+            )
+        else:
+            out = model.apply(params, batch, targets, **kwargs)
         res = postprocess(out, orig_size)
-        return {
+        ret = {
             "scores": res["scores"],
             "labels": res["labels"],
             "boxes": res["boxes"],
             "hs_embed": out["hs_embed"],
             "frame_features": out.get("frame_features"),
         }
+        if attention_maps:
+            attn = _find_sowed(dict(state["intermediates"]))
+            if attn is not None:
+                hf, wf = out["memory"].shape[1], out["memory"].shape[2]
+                ret["attention_maps"] = attn.mean(axis=1).reshape(
+                    attn.shape[0], attn.shape[2], hf, wf
+                )
+        return ret
 
     return fwd
 
@@ -116,10 +144,14 @@ class Tracker:
         overflow_boxes: bool = False,
         verbose: bool = False,
         logger=None,
+        generate_attention_maps: bool = False,
     ):
         self.model = model
         self.params = params
-        self._fwd = make_forward_fn(model, params, postprocess)
+        self.generate_attention_maps = generate_attention_maps
+        self._fwd = make_forward_fn(
+            model, params, postprocess, attention_maps=generate_attention_maps
+        )
         self.num_object_queries = num_object_queries
         self.num_track_slots = num_track_slots
         self.hidden_dim = hidden_dim
@@ -324,6 +356,11 @@ class Tracker:
         labels = np.asarray(res["labels"][0])
         boxes_all = np.asarray(res["boxes"][0])
         hs = np.asarray(res["hs_embed"][0])
+        attn_maps = (
+            np.asarray(res["attention_maps"][0])
+            if "attention_maps" in res
+            else None
+        )
         if not self.overflow_boxes:
             boxes_all = clip_boxes_np(boxes_all, (h0, w0))
 
@@ -343,6 +380,8 @@ class Tracker:
                     tr.hs_embed = hs[i]
                     tr.pos = tr_boxes[i]
                     tr.count_termination = 0
+                    if attn_maps is not None:
+                        tr.attention_map = attn_maps[i]
                 else:
                     tr.count_termination += 1
                     if tr.count_termination >= self.steps_termination:
@@ -357,6 +396,8 @@ class Tracker:
                     tr.score = float(tr_scores[row])
                     tr.hs_embed = hs[row]
                     tr.pos = tr_boxes[row]
+                    if attn_maps is not None:
+                        tr.attention_map = attn_maps[row]
                     from_inactive.append(tr)
 
             self.num_reids += len(from_inactive)
@@ -397,6 +438,12 @@ class Tracker:
         )
 
         new_ids = self.add_tracks(nd_boxes, nd_scores, nd_hs, nd_inds)
+        if attn_maps is not None:
+            det_maps = attn_maps[t_slots:]
+            for tid, oi in zip(new_ids, nd_inds):
+                for tr in self.tracks:
+                    if tr.id == tid:
+                        tr.attention_map = det_maps[int(oi)]
 
         if self.detection_nms_thresh and self.tracks:
             tb = np.stack([t.pos for t in self.tracks])
@@ -417,6 +464,10 @@ class Tracker:
             }
             if t.mask is not None:
                 self.results[t.id][self.frame_index]["mask"] = t.mask
+            if t.attention_map is not None:
+                self.results[t.id][self.frame_index]["attention_map"] = (
+                    t.attention_map
+                )
 
         for t in self.inactive_tracks:
             t.count_inactive += 1
