@@ -240,23 +240,30 @@ def build_mot_kine(split: str, cfg):
 
 
 def collate_kine(samples, max_detections: int, max_objects: int, trail_len: int,
-                 meta_dim: int = 1):
+                 meta_dim: int = 1, empty_start: bool = False):
     """Pad (dets, meta, target) triples to static shapes -> KineBatch arrays
-    + padded target dict incl. trails [B, max_objects, trail_len, 4]."""
+    + padded target dict incl. trails [B, max_objects, trail_len, 4].
+
+    empty_start: reserve slot 0 as a valid all-zero "no detection" slot
+    (≙ reference collate_data2 prepending an empty item, misc.py:302-346).
+    """
     b = len(samples)
+    off = 1 if empty_start else 0
     dets = np.zeros((b, max_detections, 4), np.float32)
     meta = np.zeros((b, max_detections, meta_dim), np.float32)
     pad = np.ones((b, max_detections), bool)
+    if empty_start:
+        pad[:, 0] = False
     boxes = np.zeros((b, max_objects, 4), np.float32)
     labels = np.zeros((b, max_objects), np.int32)
     valid = np.zeros((b, max_objects), bool)
     track_ids = np.full((b, max_objects), -1, np.int32)
     trails = np.zeros((b, max_objects, trail_len, 4), np.float32)
     for i, (d, m, t) in enumerate(samples):
-        nd = min(len(d), max_detections)
-        dets[i, :nd] = d[:nd, :4]
-        meta[i, :nd] = m[:nd]
-        pad[i, :nd] = False
+        nd = min(len(d), max_detections - off)
+        dets[i, off : off + nd] = d[:nd, :4]
+        meta[i, off : off + nd] = m[:nd]
+        pad[i, off : off + nd] = False
         n = min(len(t["boxes"]), max_objects)
         if n:
             boxes[i, :n] = t["boxes"][:n]

@@ -154,6 +154,7 @@ class DataLoader:
         hidden_dim: int = 256,
         num_workers: int = 2,
         drop_last: bool = True,
+        collate_fn=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -164,6 +165,7 @@ class DataLoader:
         self.hidden_dim = hidden_dim
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
+        self.collate_fn = collate_fn
 
     def __len__(self):
         n = len(self.sampler)
@@ -186,12 +188,15 @@ class DataLoader:
                 if stop.is_set():
                     return
                 samples = [self.dataset[i] for i in idxs]
-                q.put(
-                    collate_tracking(
-                        samples, self.buckets, self.max_objects,
-                        self.num_track_queries, self.hidden_dim,
+                if self.collate_fn is not None:
+                    q.put(self.collate_fn(samples))
+                else:
+                    q.put(
+                        collate_tracking(
+                            samples, self.buckets, self.max_objects,
+                            self.num_track_queries, self.hidden_dim,
+                        )
                     )
-                )
             q.put(None)
 
         shards = [batches[i :: self.num_workers] for i in range(self.num_workers)]

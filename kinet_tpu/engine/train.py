@@ -61,7 +61,26 @@ def train(cfg):
             seed=int(cfg.seed),
         )
     )
+    kine = bool(cfg.get("kine", False))
     n_track = int(cfg.max_track_queries) if cfg.tracking else 0
+    if kine:
+        import functools
+
+        from ..data.kinematic import collate_kine
+        from ..structs import KineBatch
+
+        trail_len = max(int(cfg.track_prev_frame_range), 1)
+        meta_dim = 2 if cfg.use_class else 1
+        collate = functools.partial(
+            collate_kine,
+            max_detections=int(cfg.max_number_detection),
+            max_objects=int(cfg.max_objects),
+            trail_len=trail_len,
+            meta_dim=meta_dim,
+            empty_start=bool(cfg.use_empty_start),
+        )
+    else:
+        collate = None
     loader = DataLoader(
         dataset_train,
         batch_size=int(cfg.batch_size),
@@ -71,17 +90,41 @@ def train(cfg):
         num_track_queries=n_track,
         hidden_dim=int(cfg.hidden_dim),
         num_workers=int(cfg.num_workers),
+        collate_fn=collate,
     )
     steps_per_epoch = max(len(loader), 1)
 
     # init params from one real batch's shapes
     first = next(iter(loader))
-    batch0 = ImageBatch(
-        images=jnp.asarray(first["image"].images),
-        pad_mask=jnp.asarray(first["image"].pad_mask),
-    )
-    targets0 = jax.tree_util.tree_map(jnp.asarray, first["target"])
-    params = jax.jit(model.init)(jax.random.PRNGKey(int(cfg.seed)), batch0, targets0)
+    if kine:
+        from ..structs import KineBatch, Targets
+        from ..tracking.kine_augment import kine_track_embed_dims
+
+        kb0 = KineBatch(
+            detections=jnp.asarray(first["detections"]),
+            metadata=jnp.asarray(first["metadata"]),
+            pad_mask=jnp.asarray(first["det_pad_mask"]),
+        )
+        tdim, mdim = kine_track_embed_dims(
+            trail_len, int(cfg.encoding_dim_tracklets), meta_dim
+        )
+        targets0 = Targets.create(
+            jnp.asarray(first["boxes"]), jnp.asarray(first["labels"]),
+            jnp.asarray(first["valid"]), jnp.asarray(first["track_ids"]),
+            num_track_queries=n_track, hidden_dim=tdim + mdim,
+        )
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(int(cfg.seed)), kb0, targets0
+        )
+    else:
+        batch0 = ImageBatch(
+            images=jnp.asarray(first["image"].images),
+            pad_mask=jnp.asarray(first["image"].pad_mask),
+        )
+        targets0 = jax.tree_util.tree_map(jnp.asarray, first["target"])
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(int(cfg.seed)), batch0, targets0
+        )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params / 1e6:.2f}M", flush=True)
 
@@ -104,7 +147,12 @@ def train(cfg):
     dsh = data_sharding(mesh)
     state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
 
-    step_fn = make_train_step(model, criterion, tx, cfg)
+    if kine:
+        from .train_step import make_kine_train_step
+
+        step_fn = make_kine_train_step(model, criterion, tx, cfg)
+    else:
+        step_fn = make_train_step(model, criterion, tx, cfg)
     ckpt = (
         CheckpointManager(cfg.output_dir, int(cfg.save_model_interval))
         if cfg.output_dir
@@ -126,16 +174,19 @@ def train(cfg):
                     if t is not None
                     else None
                 )
-                state, losses = step_fn(
-                    state,
-                    rng,
-                    put(batch["image"]),
-                    put(batch["target"]),
-                    put(batch["prev_image"]),
-                    put(batch["prev_target"]),
-                    put(batch["prev_prev_image"]),
-                    put(batch["prev_prev_target"]),
-                )
+                if kine:
+                    state, losses = step_fn(state, rng, put(batch))
+                else:
+                    state, losses = step_fn(
+                        state,
+                        rng,
+                        put(batch["image"]),
+                        put(batch["target"]),
+                        put(batch["prev_image"]),
+                        put(batch["prev_target"]),
+                        put(batch["prev_prev_image"]),
+                        put(batch["prev_prev_target"]),
+                    )
                 scalars = {
                     k: float(v)
                     for k, v in losses.items()

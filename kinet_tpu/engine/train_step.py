@@ -96,3 +96,58 @@ def make_eval_step(model, criterion, postprocessors):
         return losses, results
 
     return eval_step
+
+
+def make_kine_train_step(model, criterion, tx, cfg):
+    """KineT training step (reference KinetTrackingBase2.forward,
+    detr_tracking.py:854-872): trail augmentation (no prev-frame forward)
+    + current forward + criterion + update, one jit."""
+    from ..structs import KineBatch, Targets
+    from ..tracking.kine_augment import add_kine_track_queries
+
+    trail_enc = int(cfg.encoding_dim_tracklets)
+    ratio = float(cfg.get("ratio_add_tracklets", 1.0))
+
+    def loss_fn(params, rng, kb, targets, trails, dropout_rng):
+        aug = add_kine_track_queries(
+            rng, targets, trails, kb.detections, kb.metadata,
+            ~kb.pad_mask, trail_enc_dim=trail_enc,
+            ratio_add_tracklets=ratio,
+        )
+        aug = jax.lax.stop_gradient(aug)
+        out = model.apply(
+            params, kb, aug, deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        losses = criterion(out, aug)
+        return criterion.total_loss(losses), losses
+
+    @jax.jit
+    def train_step(state, rng, batch_dict):
+        kb = KineBatch(
+            detections=batch_dict["detections"],
+            metadata=batch_dict["metadata"],
+            pad_mask=batch_dict["det_pad_mask"],
+        )
+        t = int(cfg.max_track_queries)
+        e_dim = (
+            int(cfg.track_prev_frame_range) * 4 * trail_enc
+            + int(cfg.track_prev_frame_range)
+            * (2 if cfg.use_class else 1)
+        )
+        targets = Targets.create(
+            batch_dict["boxes"], batch_dict["labels"], batch_dict["valid"],
+            batch_dict["track_ids"], num_track_queries=t, hidden_dim=e_dim,
+        )
+        rng_aug, rng_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step)
+        )
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, rng_aug, kb, targets,
+            batch_dict["trails"].transpose(0, 1, 2, 3), rng_drop,
+        )
+        new_state = apply_grads(state, grads, tx)
+        losses["loss"] = total
+        return new_state, losses
+
+    return train_step

@@ -77,3 +77,41 @@ def test_train_session(synthetic_mot_coco, tmp_path):
     # checkpoint + config written
     assert osp.exists(tmp_path / "out" / "config.yaml")
     assert osp.exists(tmp_path / "out" / "checkpoint")
+
+
+def test_kine_train_session(synthetic_mot_coco, tmp_path):
+    """KineT training path: mot_kine dataset -> kine collate -> trail
+    augmentation -> encoder-only model -> update."""
+    import json as _json
+    import numpy as np
+
+    # build a det json next to the gt json
+    ann_dir = osp.join(synthetic_mot_coco, "annotations")
+    with open(osp.join(ann_dir, "train.json")) as f:
+        gt = _json.load(f)
+    dets = {
+        "images": gt["images"],
+        "annotations": [
+            {**a, "id": i, "confidence": 0.9}
+            for i, a in enumerate(gt["annotations"])
+        ],
+        "categories": gt["categories"],
+        "sequences": gt["sequences"],
+    }
+    with open(osp.join(ann_dir, "det_train.json"), "w") as f:
+        _json.dump(dets, f)
+
+    cfg = load_config("train.yaml", named=["train_kinet2"]).replace(
+        dataset="mot_kine",
+        mot_path_train=synthetic_mot_coco,
+        mot_path_val=synthetic_mot_coco,
+        hidden_dim=32, nheads=2, dim_feedforward=32,
+        max_objects=6, max_number_detection=8, max_track_queries=6,
+        track_prev_frame_range=2, encoding_dim_tracklets=4,
+        dropout=0.0, batch_size=2, epochs=1, num_workers=1, debug=True,
+        val_interval=0, tracking=True, tracking_eval=False,
+        output_dir=str(tmp_path / "kine_out"),
+        **{"log_interval": 1},
+    )
+    state = train(cfg)
+    assert int(state.step) >= 1
