@@ -119,6 +119,14 @@ def make_forward_fn(model, params, postprocess, attention_maps=False):
             "hs_embed": out["hs_embed"],
             "frame_features": out.get("frame_features"),
         }
+        if "pred_masks" in out:
+            # per-query mask probabilities at input resolution
+            # (≙ PostProcessSegm, reference detr_segmentation.py:219-253)
+            m = jax.nn.sigmoid(out["pred_masks"])
+            h, w = batch.images.shape[1], batch.images.shape[2]
+            ret["mask_probs"] = jax.image.resize(
+                m, (*m.shape[:2], h, w), method="bilinear"
+            )
         if attention_maps:
             attn = _find_sowed(dict(state["intermediates"]))
             if attn is not None:
@@ -361,6 +369,9 @@ class Tracker:
             if "attention_maps" in res
             else None
         )
+        mask_probs = (
+            np.asarray(res["mask_probs"][0]) if "mask_probs" in res else None
+        )
         if not self.overflow_boxes:
             boxes_all = clip_boxes_np(boxes_all, (h0, w0))
 
@@ -382,6 +393,8 @@ class Tracker:
                     tr.count_termination = 0
                     if attn_maps is not None:
                         tr.attention_map = attn_maps[i]
+                    if mask_probs is not None:
+                        tr.mask = mask_probs[i]
                 else:
                     tr.count_termination += 1
                     if tr.count_termination >= self.steps_termination:
@@ -398,6 +411,8 @@ class Tracker:
                     tr.pos = tr_boxes[row]
                     if attn_maps is not None:
                         tr.attention_map = attn_maps[row]
+                    if mask_probs is not None:
+                        tr.mask = mask_probs[row]
                     from_inactive.append(tr)
 
             self.num_reids += len(from_inactive)
@@ -438,6 +453,12 @@ class Tracker:
         )
 
         new_ids = self.add_tracks(nd_boxes, nd_scores, nd_hs, nd_inds)
+        if mask_probs is not None:
+            det_masks = mask_probs[t_slots:]
+            for tid, oi in zip(new_ids, nd_inds):
+                for tr in self.tracks:
+                    if tr.id == tid:
+                        tr.mask = det_masks[int(oi)]
         if attn_maps is not None:
             det_maps = attn_maps[t_slots:]
             for tid, oi in zip(new_ids, nd_inds):
@@ -454,6 +475,23 @@ class Tracker:
             self.tracks = [t for i, t in enumerate(self.tracks) if i in keep_idx]
 
         # ----- results -----
+        # per-pixel mask overlap resolution: background < 0.5, ties to the
+        # highest-probability track (reference tracker.py:515-527)
+        if mask_probs is not None and self.tracks and any(
+            t.mask is not None for t in self.tracks
+        ):
+            probs = np.stack(
+                [
+                    t.mask if t.mask is not None
+                    else np.zeros(mask_probs.shape[-2:], np.float32)
+                    for t in self.tracks
+                ]
+            )
+            winner = probs.argmax(axis=0)
+            idx_map = np.arange(probs.shape[0])[:, None, None]
+            final = (probs > 0.5) & (idx_map == winner)
+            for i, t in enumerate(self.tracks):
+                t.mask = final[i]
         for t in self.tracks:
             self.results.setdefault(t.id, {})
             bbox = t.pos if self.overflow_boxes else clip_boxes_np(t.pos, (h0, w0))
