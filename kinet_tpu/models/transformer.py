@@ -239,8 +239,9 @@ class TransformerDecoder(nn.Module):
                 tgt, memory, query_pos, mem_pos, mem_key_pad_mask,
                 tgt_key_pad_mask, deterministic,
             )
-            out = nn.LayerNorm(name="norm")(tgt) if self.pre_norm else tgt
-            intermediates.append(out)
+            # shared final norm on every intermediate (DETR applies
+            # decoder.norm to each layer's output regardless of pre/post)
+            intermediates.append(nn.LayerNorm(name="norm")(tgt))
         if self.return_intermediate:
             return jnp.stack(intermediates, axis=0)
         return intermediates[-1][None]

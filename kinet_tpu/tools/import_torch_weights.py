@@ -1,0 +1,235 @@
+"""Reference (torch) checkpoint -> kinet_tpu flax params converter.
+
+Enables switching from the reference with trained weights (the inference-
+parity bridge called for in SURVEY §7): maps the reference's state-dict
+names (TrackFormer DETR naming, reference train.py:176-243 consumes the
+same names for its own resume surgery) onto this framework's param tree.
+
+Layout transforms:
+- conv  torch [O, I, kH, kW]      -> flax kernel [kH, kW, I, O]
+- linear torch [O, I]             -> flax kernel [I, O]
+- MHA in_proj [3D, D] split to q/k/v [D, D] -> [D, heads, head_dim]
+- MHA out_proj [D, D]             -> [heads, head_dim, D]
+- LayerNorm weight/bias           -> scale/bias
+- FrozenBatchNorm buffers         -> copied verbatim
+
+Usage:
+    from kinet_tpu.tools.import_torch_weights import import_state_dict
+    params = import_state_dict(torch_state_dict, flax_params, nheads=8)
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _to_np(v):
+    if hasattr(v, "detach"):
+        return v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _set(tree, path, value, strict):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    leaf = path[-1]
+    if leaf not in node:
+        if strict:
+            raise KeyError("/".join(path))
+        return False
+    have = np.asarray(node[leaf])
+    if have.shape != value.shape:
+        if strict:
+            raise ValueError(f"{'/'.join(path)}: {have.shape} vs {value.shape}")
+        return False
+    node[leaf] = value.astype(have.dtype)
+    return True
+
+
+def _mha_paths(prefix, w, b, wo, bo, nheads):
+    d = w.shape[1]
+    hd = d // nheads
+    wq, wk, wv = np.split(w, 3, axis=0)  # each [D, D]
+    bq, bk, bv = np.split(b, 3, axis=0)
+    out = {}
+    for name, wm, bm in (("query", wq, bq), ("key", wk, bk), ("value", wv, bv)):
+        out[prefix + (name, "kernel")] = wm.T.reshape(d, nheads, hd)
+        out[prefix + (name, "bias")] = bm.reshape(nheads, hd)
+    out[prefix + ("out", "kernel")] = wo.T.reshape(nheads, hd, d)
+    out[prefix + ("out", "bias")] = bo
+    return out
+
+
+def import_state_dict(
+    state_dict: dict,
+    flax_params: dict,
+    nheads: int = 8,
+    strict: bool = False,
+) -> dict:
+    """Returns a new params dict with every mappable tensor replaced.
+
+    state_dict: torch-style {name: tensor}; flax_params: the 'params'-keyed
+    dict from model.init. Unmapped reference keys are reported via the
+    returned dict's companion list when strict=False.
+    """
+    import copy
+
+    tree = copy.deepcopy(
+        flax_params["params"] if "params" in flax_params else flax_params
+    )
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    used = set()
+    missed = []
+
+    def take(k):
+        used.add(k)
+        return sd[k]
+
+    def conv(k):
+        return take(k).transpose(2, 3, 1, 0)
+
+    def lin(k):
+        return take(k).T
+
+    writes = {}
+
+    for k in list(sd):
+        # ---- backbone ----
+        m = re.match(r"backbone\.0\.body\.(conv1|bn1)\.(\w+)$", k)
+        if m:
+            mod, leaf = m.groups()
+            if mod == "conv1":
+                writes[("backbone", "trunk", "conv1", "kernel")] = conv(k)
+            else:
+                writes[("backbone", "trunk", "bn1", leaf)] = take(k)
+            continue
+        m = re.match(
+            r"backbone\.0\.body\.layer(\d)\.(\d+)\.(conv\d|bn\d)\.(\w+)$", k
+        )
+        if m:
+            layer, block, mod, leaf = m.groups()
+            scope = ("backbone", "trunk", f"layer{layer}_{block}")
+            if mod.startswith("conv"):
+                writes[scope + (mod, "kernel")] = conv(k)
+            else:
+                writes[scope + (mod, leaf)] = take(k)
+            continue
+        m = re.match(
+            r"backbone\.0\.body\.layer(\d)\.(\d+)\.downsample\.(\d)\.(\w+)$", k
+        )
+        if m:
+            layer, block, idx, leaf = m.groups()
+            scope = ("backbone", "trunk", f"layer{layer}_{block}")
+            if idx == "0":
+                writes[scope + ("downsample_conv", "kernel")] = conv(k)
+            else:
+                writes[scope + ("downsample_bn", leaf)] = take(k)
+            continue
+        # ---- heads & embeds ----
+        if k == "query_embed.weight":
+            writes[("query_embed",)] = take(k)
+            continue
+        if k in ("input_proj.weight",):
+            writes[("input_proj", "kernel")] = conv(k)
+            continue
+        if k in ("input_proj.bias",):
+            writes[("input_proj", "bias")] = take(k)
+            continue
+        m = re.match(r"class_embed\.(weight|bias)$", k)
+        if m:
+            leaf = m.group(1)
+            writes[("class_embed", "kernel" if leaf == "weight" else "bias")] = (
+                lin(k) if leaf == "weight" else take(k)
+            )
+            continue
+        m = re.match(r"bbox_embed\.layers\.(\d)\.(weight|bias)$", k)
+        if m:
+            i, leaf = m.groups()
+            writes[
+                ("bbox_embed", f"layer{i}", "kernel" if leaf == "weight" else "bias")
+            ] = lin(k) if leaf == "weight" else take(k)
+            continue
+        # ---- transformer layers ----
+        m = re.match(
+            r"transformer\.(encoder|decoder)\.layers\.(\d+)\.(.+)$", k
+        )
+        if m:
+            side, i, rest = m.groups()
+            scope = ("transformer", side, f"layer{i}")
+            if rest.startswith("self_attn.") or rest.startswith(
+                "multihead_attn."
+            ):
+                attn = (
+                    ("_SelfAttnBlock_0", "MultiHeadDotProductAttention_0")
+                    if rest.startswith("self_attn.")
+                    else ("cross_attn", "MultiHeadDotProductAttention_0")
+                )
+                base = rest.split(".", 1)[0]
+                if rest.endswith("in_proj_weight"):
+                    writes.update(
+                        _mha_paths(
+                            scope + attn,
+                            take(k),
+                            sd[f"transformer.{side}.layers.{i}.{base}.in_proj_bias"],
+                            sd[f"transformer.{side}.layers.{i}.{base}.out_proj.weight"],
+                            sd[f"transformer.{side}.layers.{i}.{base}.out_proj.bias"],
+                            nheads,
+                        )
+                    )
+                    used.update(
+                        {
+                            f"transformer.{side}.layers.{i}.{base}.in_proj_bias",
+                            f"transformer.{side}.layers.{i}.{base}.out_proj.weight",
+                            f"transformer.{side}.layers.{i}.{base}.out_proj.bias",
+                        }
+                    )
+                continue
+            m2 = re.match(r"linear(\d)\.(weight|bias)$", rest)
+            if m2:
+                n, leaf = m2.groups()
+                writes[
+                    scope
+                    + (f"Dense_{int(n) - 1}", "kernel" if leaf == "weight" else "bias")
+                ] = lin(k) if leaf == "weight" else take(k)
+                continue
+            m2 = re.match(r"norm(\d)\.(weight|bias)$", rest)
+            if m2:
+                n, leaf = m2.groups()
+                writes[
+                    scope
+                    + (
+                        f"LayerNorm_{int(n) - 1}",
+                        "scale" if leaf == "weight" else "bias",
+                    )
+                ] = take(k)
+                continue
+        m = re.match(r"transformer\.decoder\.norm\.(weight|bias)$", k)
+        if m:
+            leaf = m.group(1)
+            writes[
+                ("transformer", "decoder", "norm",
+                 "scale" if leaf == "weight" else "bias")
+            ] = take(k)
+            continue
+        m = re.match(r"transformer\.encoder\.norm\.(weight|bias)$", k)
+        if m:
+            leaf = m.group(1)
+            writes[
+                ("transformer", "encoder", "LayerNorm_0",
+                 "scale" if leaf == "weight" else "bias")
+            ] = take(k)
+            continue
+
+    applied = 0
+    for path, val in writes.items():
+        if _set(tree, list(path), val, strict):
+            applied += 1
+    unused = [k for k in sd if k not in used]
+    if strict and unused:
+        raise KeyError(f"unmapped reference keys: {unused[:10]}...")
+    return (
+        {"params": tree} if "params" in flax_params else tree,
+        {"applied": applied, "unmapped": unused},
+    )
