@@ -153,6 +153,10 @@ def train(cfg):
         step_fn = make_kine_train_step(model, criterion, tx, cfg)
     else:
         step_fn = make_train_step(model, criterion, tx, cfg)
+
+    from ..utils.vis import build_visualizers
+
+    visualizers = build_visualizers(cfg)
     ckpt = (
         CheckpointManager(cfg.output_dir, int(cfg.save_model_interval))
         if cfg.output_dir
@@ -196,6 +200,15 @@ def train(cfg):
                     print("Loss is NaN — stopping (reference engine.py:140-143)")
                     sys.exit(1)
                 logger.update(**scalars)
+                iter_vis = visualizers["train"].get("iter_metrics")
+                if iter_vis is not None:
+                    iter_vis.plot(
+                        [
+                            scalars.get(k, 0.0)
+                            for k in ("loss", "loss_ce", "loss_bbox", "loss_giou")
+                        ],
+                        int(state.step),
+                    )
 
         eval_stats = None
         if (
@@ -229,6 +242,19 @@ def train(cfg):
                 print(f"eval skipped (no val data): {e}")
         if ckpt is not None:
             ckpt.save_epoch(state, epoch, eval_stats)
+        epoch_vis = visualizers["train"].get("epoch_metrics")
+        if epoch_vis is not None and eval_stats:
+            epoch_vis.plot(
+                [
+                    float(eval_stats.get(k) or 0.0)
+                    for k in ("AP", "AP50", "mota", "idf1")
+                ],
+                epoch,
+            )
+            epoch_vis.save()
+        iter_vis = visualizers["train"].get("iter_metrics")
+        if iter_vis is not None:
+            iter_vis.save()
         if cfg.debug:
             break
     return state

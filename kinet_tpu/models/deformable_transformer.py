@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.msda import ms_deform_attn
+from ..ops.msda import ms_deform_attn_patch as ms_deform_attn
 
 
 def inverse_sigmoid(x, eps=1e-5):

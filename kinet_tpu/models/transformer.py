@@ -216,6 +216,7 @@ class TransformerDecoder(nn.Module):
         deterministic=True,
     ):
         intermediates = []
+        final_norm = nn.LayerNorm(name="norm")
         for i in range(self.num_layers):
             if self.track_attention and self.num_track_slots > 0:
                 t = self.num_track_slots
@@ -241,7 +242,7 @@ class TransformerDecoder(nn.Module):
             )
             # shared final norm on every intermediate (DETR applies
             # decoder.norm to each layer's output regardless of pre/post)
-            intermediates.append(nn.LayerNorm(name="norm")(tgt))
+            intermediates.append(final_norm(tgt))
         if self.return_intermediate:
             return jnp.stack(intermediates, axis=0)
         return intermediates[-1][None]

@@ -247,3 +247,70 @@ def ms_deform_attn_loop(
                     (wt * inside * aw)[..., None] * g, axis=3
                 )
     return out.reshape(b, lq, m * d)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_patch(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """2x2-patch gather variant: ONE lax.gather slice of [2, 2, D] per
+    (sample, level) fetches all four bilinear corners — half the gather
+    rows of the row-pair formulation (XLA TPU gather cost is per-row).
+    Levels are guard-padded by one pixel on each side so boundary samples
+    never clip onto wrong elements (their corner weights are already 0).
+    """
+    b, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    value_t = value.transpose(0, 2, 1, 3)  # [B, M, S, D]
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    def gather_patches(vg, idx):
+        # vg [H+2, W+2, D], idx [R, 2] -> [R, 2, 2, D]
+        return jax.lax.gather(
+            vg, idx, dnums, slice_sizes=(2, 2, d), mode="clip"
+        )
+
+    gather_bm = jax.vmap(jax.vmap(gather_patches))
+
+    out = jnp.zeros((b, m, lq, d), compute_dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_t[:, :, starts[lvl] : starts[lvl] + h * w].reshape(
+            b, m, h, w, d
+        )
+        vg = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        loc = sampling_locations[:, :, :, lvl].transpose(0, 2, 1, 3, 4)
+        aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
+        x = loc[..., 0] * w - 0.5  # [B, M, Lq, P]
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        in_x0 = (x0 >= 0) & (x0 <= w - 1)
+        in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+        in_y0 = (y0 >= 0) & (y0 <= h - 1)
+        in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+        wx = jnp.stack([(1 - fx) * in_x0, fx * in_x1], -1)  # [B,M,Lq,P,2]
+        wy = jnp.stack([(1 - fy) * in_y0, fy * in_y1], -1)
+        w22 = (wy[..., :, None] * wx[..., None, :]) * aw[..., None, None]
+        y0c = jnp.clip(y0.astype(jnp.int32), -1, h - 1) + 1
+        x0c = jnp.clip(x0.astype(jnp.int32), -1, w - 1) + 1
+        idx = jnp.stack([y0c, x0c], -1).reshape(b, m, lq * p, 2)
+        g = gather_bm(vg, idx).reshape(b, m, lq, p, 2, 2, d)
+        contrib = jnp.einsum(
+            "bmqpyx,bmqpyxd->bmqd",
+            w22.astype(compute_dtype),
+            g,
+        )
+        out = out + contrib
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, m * d).astype(jnp.float32)

@@ -106,7 +106,7 @@ def build_visualizers(cfg):
         )
         out[split]["epoch_metrics"] = LineVis(
             {"title": f"{split} epoch metrics", "xlabel": "epoch",
-             "legend": ["loss", "AP", "MOTA", "IDF1"]},
+             "legend": ["AP", "AP50", "MOTA", "IDF1"]},
             output_dir,
         )
         out[split]["example_results"] = ImgVis(

@@ -21,3 +21,7 @@ aw = jnp.full((1,S,M,L,P),1.0/(L*P),jnp.float32)
 timeit("NEW slice-gather fp32 enc", lambda v,l_,a: ms_deform_attn(v,shapes,l_,a), value, loc, aw)
 timeit("NEW slice-gather bf16 enc", lambda v,l_,a: ms_deform_attn(v,shapes,l_,a), value.astype(jnp.bfloat16), loc, aw)
 timeit("scan fp32 enc", lambda v,l_,a: ms_deform_attn_scan(v,shapes,l_,a), value, loc, aw)
+
+from kinet_tpu.ops.msda import ms_deform_attn_patch
+timeit("PATCH 2x2 fp32 enc", lambda v,l_,a: ms_deform_attn_patch(v,shapes,l_,a), value, loc, aw)
+timeit("PATCH 2x2 bf16 enc", lambda v,l_,a: ms_deform_attn_patch(v,shapes,l_,a), value.astype(jnp.bfloat16), loc, aw)
