@@ -7,13 +7,17 @@ locations, weighted by attention and summed over (levels × points).
 The CUDA kernels (ops/src/cuda/ms_deform_im2col_cuda.cuh) implement the
 same math; on TPU we provide:
 
-- `ms_deform_attn` — an XLA formulation: 4-corner gather + lerp. XLA
-  autodiff gives the exact col2im/col2im_coord gradients (scatter-add),
-  so no custom VJP is needed for correctness. Gathers are laid out as a
-  single flattened `take` per corner over the level-concatenated value
-  tensor to minimise kernel launches.
-- a Pallas kernel (kinet_tpu/ops/pallas/msda_pallas.py) for the hot path,
-  validated against this function (mirrors reference ops/test.py).
+Implementations (all exact, validated against a torch grid_sample oracle
+incl. gradients in tests/test_msda.py ≙ reference ops/test.py; XLA autodiff
+provides the col2im/col2im_coord backward as scatter-adds, so no custom VJP
+is needed):
+- `ms_deform_attn_patch` — the production path: ONE [2, 2, D] slice gather
+  per (sample, level) fetches all four bilinear corners,
+- `ms_deform_attn` — row-pair variant (two [2, D] row gathers per sample),
+- `ms_deform_attn_scan` — per-(level, point) lax.scan, minimal memory,
+- `ms_deform_attn_loop` — readability oracle.
+A Pallas VMEM-table kernel is NOT expressible on this toolchain:
+tpu.dynamic_gather only shuffles within one vreg (see PLAN.md).
 
 Shapes (all static):
   value:             [B, S, M, D]   S = sum_l H_l*W_l
