@@ -361,6 +361,9 @@ class KinematicDetectorTransformer(nn.Module):
         out_classes = self.num_classes + (0 if self.focal_loss else 1)
         self.class_embed = nn.Dense(out_classes, name="class_embed")
         self.bbox_embed = MLP(self.hidden_dim, 4, 3, name="bbox_embed")
+        if self.trail_enc_dim:
+            self.track_proj_det = nn.Dense(self.hidden_dim)
+            self.track_proj_meta = nn.Dense(self.hidden_dim)
 
     def __call__(
         self,
@@ -393,8 +396,8 @@ class KinematicDetectorTransformer(nn.Module):
             raw_det = emb[..., :split]
             raw_meta = emb[..., split:]
             if self.trail_enc_dim:
-                tq_det = nn.Dense(d, name="track_proj_det")(raw_det)
-                tq_meta = nn.Dense(d, name="track_proj_meta")(raw_meta)
+                tq_det = self.track_proj_det(raw_det)
+                tq_meta = self.track_proj_meta(raw_meta)
             else:
                 tq_det, tq_meta = raw_det, raw_meta
             tq_det = jnp.where(active[..., None], tq_det, 0.0)

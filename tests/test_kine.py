@@ -124,3 +124,40 @@ def test_kine2_training_slice():
     total, gnorm, losses = step(jax.random.PRNGKey(3))
     assert jnp.isfinite(total) and gnorm > 0
     assert "loss_ce" in losses
+
+
+def test_kine_dual_stream_forward_and_loss():
+    """KinematicDetectorTransformer (used_ordered_queries path) with trail
+    track queries."""
+    l, enc = 3, 4
+    cfg = load_config("train.yaml", named=["train_kinet"]).replace(
+        dataset="mot_kine", used_ordered_queries=True, use_encoder_only=False,
+        hidden_dim=32, nheads=2, dim_feedforward=32, num_queries=8,
+        dropout=0.0, max_number_detection=6, max_track_queries=6,
+        track_prev_frame_range=l, encoding_dim_tracklets=enc,
+        tracking=True, aux_loss=False,
+    )
+    model, criterion, _ = build_model(cfg)
+    assert type(model).__name__ == "KinematicDetectorTransformer"
+
+    targets, trails, dets, meta, det_valid = _kine_setup(l=l, enc=enc)
+    kb = KineBatch(detections=dets, metadata=meta, pad_mask=~det_valid)
+    aug = add_kine_track_queries(
+        jax.random.PRNGKey(0), targets, trails, dets, meta, det_valid,
+        trail_enc_dim=enc,
+    )
+    params = model.init(jax.random.PRNGKey(1), kb, aug)
+    out = model.apply(params, kb, aug)
+    # rows = track slots + object queries
+    assert out["pred_logits"].shape[1] == 6 + 8
+    losses = criterion(out, aug)
+    total = criterion.total_loss(losses)
+    assert jnp.isfinite(total)
+
+    def loss_fn(p):
+        o = model.apply(p, kb, aug)
+        return criterion.total_loss(criterion(o, aug))
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
+    assert jnp.isfinite(gnorm) and gnorm > 0
