@@ -86,6 +86,13 @@ def collate_tracking(
         out[tkey] = pad_targets(
             [s[tkey] for s in samples], max_objects, num_track_queries, hidden_dim
         )
+    out["image_ids"] = np.asarray(
+        [s["target"].get("image_id", -1) for s in samples], np.int64
+    )
+    out["orig_sizes"] = np.asarray(
+        [s["target"].get("orig_size", s["image"].shape[:2]) for s in samples],
+        np.float32,
+    )
     return out
 
 

@@ -51,12 +51,9 @@ def evaluate(model, criterion, postprocessors, params, dataset_val, cfg):
     for batch in logger.log_every(loader, "Eval"):
         images: ImageBatch = batch["image"]
         targets = batch["target"]
-        # original sizes for absolute-coordinate eval
-        sizes = jnp.asarray(
-            [[images.images.shape[1], images.images.shape[2]]]
-            * images.images.shape[0],
-            jnp.float32,
-        )
+        # original sizes for absolute-coordinate eval (reference evaluates
+        # in orig_size space, engine.py:203-255)
+        sizes = jnp.asarray(batch["orig_sizes"], jnp.float32)
         losses, results = eval_step(
             params,
             jax.tree_util.tree_map(jnp.asarray, images),
@@ -68,10 +65,8 @@ def evaluate(model, criterion, postprocessors, params, dataset_val, cfg):
         )
         # make_results ≙ reference engine.py:24-99
         preds = {}
-        # image ids are not threaded through the padded batch; evaluation
-        # uses sequential ids — sufficient for val-set AP tracking
-        for i in range(images.images.shape[0]):
-            preds[len(evaluator.preds) + i] = {
+        for i, img_id in enumerate(batch["image_ids"].tolist()):
+            preds[int(img_id)] = {
                 "boxes": np.asarray(results["boxes"][i]),
                 "scores": np.asarray(results["scores"][i]),
                 "labels": np.asarray(results["labels"][i]),

@@ -115,3 +115,43 @@ def test_kine_train_session(synthetic_mot_coco, tmp_path):
     )
     state = train(cfg)
     assert int(state.step) >= 1
+
+
+def test_evaluate_detection(synthetic_mot_coco):
+    """During-training evaluation: AP over the synthetic val set with real
+    image ids (reference engine.py:179-278)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kinet_tpu.data import build_dataset
+    from kinet_tpu.engine.evaluate import evaluate
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.structs import ImageBatch, Targets
+
+    cfg = load_config("train.yaml").replace(
+        dataset="mot",
+        mot_path_train=synthetic_mot_coco,
+        mot_path_val=synthetic_mot_coco,
+        backbone="resnet_test", hidden_dim=32, nheads=2, enc_layers=1,
+        dec_layers=1, dim_feedforward=32, num_queries=8, max_objects=6,
+        dropout=0.0, batch_size=2, num_workers=1, debug=True,
+        tracking=False, tracking_eval=False, aux_loss=False,
+        **{"img_transform.max_size": 128, "img_transform.val_width": 64,
+           "size_buckets": [[64, 96], [96, 128]], "log_interval": 1},
+    )
+    model, criterion, post = build_model(cfg)
+    ds = build_dataset("val", cfg)
+    batch0 = ds[0]
+    b = ImageBatch(
+        images=jnp.asarray(batch0["image"][None]),
+        pad_mask=jnp.zeros((1, *batch0["image"].shape[:2]), bool),
+    )
+    t = Targets.create(
+        jnp.full((1, 2, 4), 0.5), jnp.zeros((1, 2), jnp.int32),
+        jnp.ones((1, 2), bool), num_track_queries=0, hidden_dim=32,
+    )
+    params = model.init(jax.random.PRNGKey(0), b, t)
+    stats = evaluate(model, criterion, post, params, ds, cfg)
+    assert "coco_eval_bbox" in stats and len(stats["coco_eval_bbox"]) == 12
+    # untrained model: AP may be ~0, but must be a valid number in [-1, 1]
+    assert -1.0 <= stats["coco_eval_bbox"][0] <= 1.0
