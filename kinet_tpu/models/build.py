@@ -113,6 +113,7 @@ def build_model(cfg):
             multi_frame_encoding=cfg.multi_frame_encoding,
             merge_frame_features=cfg.merge_frame_features,
             masks=cfg.masks,
+            remat=bool(cfg.get("remat", False)),
         )
     else:
         model = DETR(

@@ -54,6 +54,7 @@ class DeformableDETR(nn.Module):
     num_track_slots: int = 0
     focal_loss: bool = True
     masks: bool = False
+    remat: bool = False
 
     def setup(self):
         gn_groups = math.gcd(32, self.hidden_dim)
@@ -116,6 +117,7 @@ class DeformableDETR(nn.Module):
             two_stage=self.two_stage,
             two_stage_num_proposals=self.num_queries,
             multi_frame_attention_separate_encoder=self.multi_frame_attention,
+            remat=self.remat,
         )
         if not self.two_stage:
             self.query_embed = self.param(

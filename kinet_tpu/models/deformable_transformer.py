@@ -180,6 +180,8 @@ class DeformableEncoder(nn.Module):
     n_levels: int
     n_heads: int
     n_points: int
+    remat: bool = False  # rematerialize layers (trade FLOPs for HBM during
+    # training — the encoder activations at 800px are the memory peak)
 
     @nn.compact
     def __call__(
@@ -187,9 +189,14 @@ class DeformableEncoder(nn.Module):
         padding_mask=None, deterministic=True,
     ):
         ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        layer_cls = DeformableEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(
+                DeformableEncoderLayer, static_argnums=(4, 6)
+            )
         out = src
         for i in range(self.num_layers):
-            out = DeformableEncoderLayer(
+            out = layer_cls(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
                 self.n_levels, self.n_heads, self.n_points, name=f"layer{i}",
             )(out, pos, ref, spatial_shapes, padding_mask, deterministic)
@@ -330,6 +337,7 @@ class DeformableTransformer(nn.Module):
     two_stage: bool = False
     two_stage_num_proposals: int = 300
     multi_frame_attention_separate_encoder: bool = False
+    remat: bool = False
 
     def setup(self):
         enc_levels = self.num_feature_levels
@@ -338,7 +346,7 @@ class DeformableTransformer(nn.Module):
         self.encoder = DeformableEncoder(
             self.num_encoder_layers, self.d_model, self.dim_feedforward,
             self.dropout, self.activation, enc_levels, self.nheads,
-            self.enc_n_points,
+            self.enc_n_points, remat=self.remat,
         )
         self.decoder = DeformableDecoder(
             self.num_decoder_layers, self.d_model, self.dim_feedforward,
