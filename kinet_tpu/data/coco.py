@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import json
 import os.path as osp
-from typing import Optional
-
 import numpy as np
 from PIL import Image
 

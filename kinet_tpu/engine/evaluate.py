@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import DataLoader, RandomSampler
-from ..models.postprocess import build_postprocessors
 from ..structs import ImageBatch
 from ..utils.coco_eval import CocoEvaluator
 from ..utils.logging import MetricLogger

@@ -20,14 +20,11 @@ import argparse
 import os.path as osp
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, load_config, load_saved_config, parse_cli_overrides
 from ..data.sequences import TrackDatasetFactory
 from ..models.build import build_model
-from ..structs import ImageBatch, Targets
 from ..tracking.tracker import Tracker
 from ..utils.mot_metrics import evaluate_mot_accums, format_summary, get_mot_accum
 

@@ -8,9 +8,6 @@ the gradient all-reduce — the DDP equivalent (reference train.py:89-91).
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

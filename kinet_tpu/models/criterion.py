@@ -17,8 +17,6 @@ Losses: CE with eos down-weighting + FP-track-query reweighting
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -24,7 +24,7 @@ import numpy as np
 from ..ops.nms import nms_numpy
 from ..structs import KineBatch, Targets
 from .kine_augment import sine_encode_trail
-from .tracker import Tracker, box_xyxy_to_cxcywh_np, clip_boxes_np
+from .tracker import Tracker, clip_boxes_np
 
 
 def pseudo_trail(rel_box: np.ndarray, n_frames: int) -> np.ndarray:

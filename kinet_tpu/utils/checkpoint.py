@@ -10,11 +10,9 @@ that per-leaf.
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

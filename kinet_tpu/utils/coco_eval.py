@@ -57,9 +57,15 @@ class CocoEvaluator:
 
     def synchronize_between_processes(self):
         """Multi-host merge ≙ reference all_gather of eval images
-        (coco_eval.py:58-64); with single-host SPMD eval this is a no-op.
-        Multi-process callers merge via utils.dist.all_gather_objects."""
-        return
+        (coco_eval.py:58-64): every host contributes its prediction shard."""
+        from .dist import all_gather_objects, get_world_size
+
+        if get_world_size() == 1:
+            return
+        merged = {}
+        for shard in all_gather_objects(self.preds):
+            merged.update(shard)
+        self.preds = merged
 
     def _gt_for(self, img_id, cat):
         anns = self.gt.anns_by_img.get(img_id, [])
