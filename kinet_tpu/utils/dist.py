@@ -68,3 +68,21 @@ def reduce_dict(d: dict) -> dict:
 def save_on_master(save_fn, *args, **kwargs):
     if is_main_process():
         save_fn(*args, **kwargs)
+
+
+def setup_for_distributed(is_master: bool | None = None):
+    """Suppress prints on non-primary hosts (reference util/misc.py:462-483
+    monkey-patches builtins.print and Visdom; here just print)."""
+    import builtins
+
+    if is_master is None:
+        is_master = is_main_process()
+    if is_master:
+        return
+    orig_print = builtins.print
+
+    def print_(*args, force: bool = False, **kwargs):
+        if force:
+            orig_print(*args, **kwargs)
+
+    builtins.print = print_

@@ -85,3 +85,40 @@ def test_gradients_match_torch_autograd():
     np.testing.assert_allclose(
         np.asarray(gl)[mask], tl.grad.numpy()[mask], rtol=1e-3, atol=1e-4
     )
+
+
+def test_pallas_hybrid_matches_oracle_interpret():
+    """Pallas one-hot-matmul MSDA (interpret mode) vs the loop oracle,
+    incl. the custom-VJP gradient path."""
+    from unittest import mock
+
+    import jax.experimental.pallas as pl_mod
+
+    from kinet_tpu.ops import pallas_msda
+
+    orig = pl_mod.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    value, loc, aw, shapes = _random_inputs(5, b=2, m=4, d=8, lq=16, p=4)
+    ref = np.asarray(
+        ms_deform_attn_loop(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw))
+    )
+    with mock.patch("kinet_tpu.ops.pallas_msda.pl.pallas_call", interp):
+        out = np.asarray(
+            pallas_msda.ms_deform_attn_hybrid(
+                jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw), 1000
+            )
+        )
+        gv = jax.grad(
+            lambda v: jnp.sum(
+                pallas_msda.ms_deform_attn_hybrid(v, shapes, jnp.asarray(loc), jnp.asarray(aw), 1000)
+            )
+        )(jnp.asarray(value))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    gref = jax.grad(
+        lambda v: jnp.sum(ms_deform_attn_loop(v, shapes, jnp.asarray(loc), jnp.asarray(aw)))
+    )(jnp.asarray(value))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gref), rtol=1e-4, atol=1e-5)
