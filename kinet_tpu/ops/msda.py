@@ -263,8 +263,14 @@ def ms_deform_attn_patch(
     """2x2-patch gather variant: ONE lax.gather slice of [2, 2, D] per
     (sample, level) fetches all four bilinear corners — half the gather
     rows of the row-pair formulation (XLA TPU gather cost is per-row).
-    Levels are guard-padded by one pixel on each side so boundary samples
-    never clip onto wrong elements (their corner weights are already 0).
+
+    Boundaries: instead of guard-padding the value (a full copy per layer —
+    ~42 ms/frame in the flagship profile), the window start is clamped to
+    [0, H-2]x[0, W-2] and the per-corner weights are REMAPPED to window
+    slots by the clamp shift: shift = clamp(c0) - c0 ∈ {-1, 0, +1};
+    slot0 gets w0 when shift==0, w1 when shift==+1; slot1 gets w1 when
+    shift==0, w0 when shift==-1 (out-of-range corners already weigh 0).
+    Exactness vs the grid_sample oracle is covered by tests/test_msda.py.
     """
     b, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
@@ -279,38 +285,48 @@ def ms_deform_attn_patch(
     )
 
     def gather_patches(vg, idx):
-        # vg [H+2, W+2, D], idx [R, 2] -> [R, 2, 2, D]
+        # vg [H, W, D], idx [R, 2] -> [R, 2, 2, D]
         return jax.lax.gather(
             vg, idx, dnums, slice_sizes=(2, 2, d), mode="clip"
         )
 
     gather_bm = jax.vmap(jax.vmap(gather_patches))
 
+    def slot_weights(c0, f, size, size_padded):
+        """Window-slot weights for one axis. c0=floor coord, f=frac.
+        Bounds use the TRUE size; the clamp uses the (possibly padded)
+        buffer size so a [2]-slice always fits."""
+        w0 = (1 - f) * ((c0 >= 0) & (c0 <= size - 1))
+        w1 = f * ((c0 + 1 >= 0) & (c0 + 1 <= size - 1))
+        c0i = c0.astype(jnp.int32)
+        c0c = jnp.clip(c0i, 0, size_padded - 2)
+        shift = c0c - c0i  # {-1, 0, +1}
+        s0 = jnp.where(shift == 0, w0, jnp.where(shift == 1, w1, 0.0))
+        s1 = jnp.where(shift == 0, w1, jnp.where(shift == -1, w0, 0.0))
+        return jnp.stack([s0, s1], -1), c0c
+
     out = jnp.zeros((b, m, lq, d), compute_dtype)
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = value_t[:, :, starts[lvl] : starts[lvl] + h * w].reshape(
             b, m, h, w, d
         )
-        vg = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        # degenerate levels (H or W == 1, tiny inputs) can't fit a 2-slice:
+        # zero-pad bottom/right minimally (weights beyond the true size
+        # are already 0)
+        hp, wp = max(h, 2), max(w, 2)
+        if (hp, wp) != (h, w):
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         loc = sampling_locations[:, :, :, lvl].transpose(0, 2, 1, 3, 4)
         aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
         x = loc[..., 0] * w - 0.5  # [B, M, Lq, P]
         y = loc[..., 1] * h - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        in_x0 = (x0 >= 0) & (x0 <= w - 1)
-        in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
-        in_y0 = (y0 >= 0) & (y0 <= h - 1)
-        in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
-        wx = jnp.stack([(1 - fx) * in_x0, fx * in_x1], -1)  # [B,M,Lq,P,2]
-        wy = jnp.stack([(1 - fy) * in_y0, fy * in_y1], -1)
+        wx, x0c = slot_weights(x0, x - x0, w, wp)  # [B,M,Lq,P,2]
+        wy, y0c = slot_weights(y0, y - y0, h, hp)
         w22 = (wy[..., :, None] * wx[..., None, :]) * aw[..., None, None]
-        y0c = jnp.clip(y0.astype(jnp.int32), -1, h - 1) + 1
-        x0c = jnp.clip(x0.astype(jnp.int32), -1, w - 1) + 1
         idx = jnp.stack([y0c, x0c], -1).reshape(b, m, lq * p, 2)
-        g = gather_bm(vg, idx).reshape(b, m, lq, p, 2, 2, d)
+        g = gather_bm(v, idx).reshape(b, m, lq, p, 2, 2, d)
         contrib = jnp.einsum(
             "bmqpyx,bmqpyxd->bmqd",
             w22.astype(compute_dtype),
