@@ -1,0 +1,35 @@
+"""Driver-contract regression tests for __graft_entry__.py.
+
+The round-1 driver run failed because dryrun_multichip assumed the virtual
+CPU mesh env was already set; standalone, jax initialized the (single-chip
+axon) backend first. The contract: `python -c "import __graft_entry__ as g;
+g.dryrun_multichip(8)"` must pass with JAX_PLATFORMS=axon preset and no
+conftest. We exercise exactly that invocation in a clean subprocess.
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_standalone():
+    env = dict(os.environ)
+    # simulate the driver environment: axon preset, no CPU mesh flags
+    env["JAX_PLATFORMS"] = "axon"
+    env.pop("_KINET_DRYRUN_CHILD", None)
+    env["XLA_FLAGS"] = ""
+    env["PYTHONPATH"] = REPO
+    # reuse the suite's persistent compile cache in the child
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/kinet_jax_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "OK" in proc.stdout, proc.stdout
