@@ -78,21 +78,31 @@ def main():
 
     @jax.jit
     def fwd_once(params, batch, targets):
-        out = model.apply(params, batch, targets, prev_features=None)
-        return out["frame_features"]
+        # first frame of a sequence (prev := current)
+        out = model.apply(params, batch, targets)
+        return out["frame_memory"]
 
     @jax.jit
-    def run_frames(params, batch, targets, feats):
-        # K tracker frames chained through prev_features inside ONE compiled
-        # graph: a single dispatch + sync, so remote-tunnel latency and
-        # async-dispatch artifacts cannot distort the timing. Everything is
-        # a jit ARGUMENT — closures would bake 160MB of params in as XLA
-        # constants (compile explosion).
-        def one_frame(carry, _):
-            out = model.apply(params, batch, targets, prev_features=carry)
-            return out["frame_features"], jnp.sum(out["pred_boxes"])
+    def run_frames(params, batch, targets, memory):
+        # K tracker frames chained through the cached prev-frame encoded
+        # memory (what the Tracker does) inside ONE compiled graph: a single
+        # dispatch + sync, so remote-tunnel latency and async-dispatch
+        # artifacts cannot distort the timing. Everything is a jit ARGUMENT —
+        # closures would bake 160MB of params in as XLA constants (compile
+        # explosion).
+        def one_frame(carry, step):
+            # roll the image by the step index: a fresh frame every step, so
+            # XLA cannot hoist the (loop-invariant-looking) current-frame
+            # backbone + input projections out of the scan
+            frame = batch.replace(
+                images=jnp.roll(batch.images, step, axis=2)
+            )
+            out = model.apply(params, frame, targets, prev_memory=carry)
+            return out["frame_memory"], jnp.sum(out["pred_boxes"])
 
-        feats, sums = jax.lax.scan(one_frame, feats, None, length=ITERS)
+        memory, sums = jax.lax.scan(
+            one_frame, memory, jnp.arange(ITERS, dtype=jnp.int32)
+        )
         return jnp.sum(sums)
 
     t0 = time.perf_counter()

@@ -59,6 +59,25 @@ def convert_anns_to_target(anns, img_hw, image_id):
     boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
     boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
     keep = (boxes[:, 3] > boxes[:, 1]) & (boxes[:, 2] > boxes[:, 0])
+    masks = None
+    if any("segmentation" in a for a in anns):
+        # MOTS RLE masks (written by generate_coco_from_mots)
+        from ..utils.rle import rle_to_mask
+
+        decoded = []
+        for a in anns:
+            seg = a.get("segmentation")
+            if seg is None:
+                decoded.append(np.zeros((h, w), np.uint8))
+            else:
+                sh, sw = seg["size"]
+                m = rle_to_mask(seg["counts"], (sh, sw)).astype(np.uint8)
+                if (sh, sw) != (h, w):  # defensive: pad/crop to image size
+                    mm = np.zeros((h, w), np.uint8)
+                    mm[: min(h, sh), : min(w, sw)] = m[: h, : w]
+                    m = mm
+                decoded.append(m)
+        masks = np.stack(decoded) if decoded else np.zeros((0, h, w), np.uint8)
     target = {
         "image_id": image_id,
         "boxes": boxes[keep],
@@ -70,11 +89,15 @@ def convert_anns_to_target(anns, img_hw, image_id):
         "orig_size": np.asarray([h, w]),
         "size": np.asarray([h, w]),
     }
+    if masks is not None:
+        target["masks"] = masks[keep]
     # split ignore-region annotations (reference coco.py:71-76)
     ig = target["ignore"].astype(bool)
     for k in ("boxes", "labels", "area", "iscrowd", "track_ids"):
         target[f"{k}_ignore"] = target[k][ig]
         target[k] = target[k][~ig]
+    if masks is not None:
+        target["masks"] = target["masks"][~ig]
     del target["ignore"]
     return target
 

@@ -25,12 +25,17 @@ def pad_targets(
     max_objects: int,
     num_track_queries: int,
     hidden_dim: int,
+    mask_hw: tuple[int, int] | None = None,
 ) -> Targets:
     b = len(targets)
     boxes = np.zeros((b, max_objects, 4), np.float32)
     labels = np.zeros((b, max_objects), np.int32)
     valid = np.zeros((b, max_objects), bool)
     track_ids = np.full((b, max_objects), -1, np.int64)
+    has_masks = mask_hw is not None and any("masks" in t for t in targets)
+    masks = (
+        np.zeros((b, max_objects, *mask_hw), np.float32) if has_masks else None
+    )
     for i, t in enumerate(targets):
         n = min(len(t["boxes"]), max_objects)
         if n:
@@ -39,10 +44,20 @@ def pad_targets(
             valid[i, :n] = True
             if "track_ids" in t and len(t["track_ids"]) >= n:
                 track_ids[i, :n] = t["track_ids"][:n]
-    return Targets.create(
+            if has_masks and "masks" in t and len(t["masks"]) >= n:
+                m = t["masks"][:n]
+                mh = min(m.shape[1], mask_hw[0])
+                mw = min(m.shape[2], mask_hw[1])
+                masks[i, :n, :mh, :mw] = m[:, :mh, :mw]
+    out = Targets.create(
         boxes, labels, valid, track_ids.astype(np.int32),
         num_track_queries=num_track_queries, hidden_dim=hidden_dim,
     )
+    if has_masks:
+        import jax.numpy as jnp
+
+        out = out.replace(masks=jnp.asarray(masks))
+    return out
 
 
 def pad_images(images: list[np.ndarray], buckets) -> ImageBatch:
@@ -84,7 +99,8 @@ def collate_tracking(
             continue
         out[key] = pad_images([s[key] for s in samples], buckets)
         out[tkey] = pad_targets(
-            [s[tkey] for s in samples], max_objects, num_track_queries, hidden_dim
+            [s[tkey] for s in samples], max_objects, num_track_queries,
+            hidden_dim, mask_hw=out[key].images.shape[1:3],
         )
     out["image_ids"] = np.asarray(
         [s["target"].get("image_id", -1) for s in samples], np.int64

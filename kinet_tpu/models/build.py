@@ -77,7 +77,15 @@ def build_model(cfg):
                 num_track_slots=num_track_slots or cfg.max_number_detection,
                 max_detections=cfg.max_number_detection,
             )
-        elif cfg.get("used_ordered_queries", False):
+        else:
+            # kine without use_encoder_only ALWAYS builds the dual-stream
+            # KinematicDetectorTransformer — the reference's build wires
+            # DualKinematicTransformer for every non-encoder-only kine
+            # config (models/__init__.py:72-107, transformer.py:503-525);
+            # used_ordered_queries only selects the MATCHER
+            # (matcher.py:685-712). The single-stream KineT class exists
+            # for parity but is never reachable from configs, as in the
+            # reference.
             trail_len = max(int(cfg.track_prev_frame_range), 1)
             meta_dim = 2 if cfg.use_class else 1
             model = KinematicDetectorTransformer(
@@ -87,13 +95,6 @@ def build_model(cfg):
                 max_detections=cfg.max_number_detection,
                 trail_enc_dim=trail_len * 4 * cfg.encoding_dim_tracklets,
                 meta_hist_dim=trail_len * meta_dim,
-            )
-        else:
-            model = KineT(
-                **common,
-                dec_layers=cfg.dec_layers,
-                aux_loss=cfg.aux_loss,
-                max_detections=cfg.max_number_detection,
             )
     elif cfg.get("deformable", False):
         from .deformable_detr import DeformableDETR
@@ -112,6 +113,9 @@ def build_model(cfg):
             multi_frame_attention=cfg.multi_frame_attention,
             multi_frame_encoding=cfg.multi_frame_encoding,
             merge_frame_features=cfg.merge_frame_features,
+            cache_prev_encoder=bool(cfg.get("cache_prev_encoder", False)),
+            enc_msda_shared_locs=bool(cfg.get("enc_msda_shared_locs", False)),
+            enc_msda_topk=int(cfg.get("enc_msda_topk", 0)),
             masks=cfg.masks,
             remat=bool(cfg.get("remat", False)),
         )
@@ -137,17 +141,27 @@ def build_model(cfg):
     if cfg.masks:
         losses.append("masks")
 
-    matcher_kind = (
-        "ordered_encoder"
-        if cfg.get("kine", False) and cfg.get("use_encoder_only", False)
-        else "hungarian"
-    )
+    # matcher dispatch mirrors reference build_matcher (matcher.py:685-712):
+    # ordered matchers only when used_ordered_queries; else Hungarian
+    if cfg.get("kine", False) and cfg.get("used_ordered_queries", False):
+        matcher_kind = (
+            "ordered_encoder"
+            if cfg.get("use_encoder_only", False)
+            else "ordered_transformer"
+        )
+    else:
+        matcher_kind = "hungarian"
+    n_assign = 1
+    if matcher_kind == "ordered_transformer":
+        n_assign = max(int(cfg.num_queries) // int(cfg.max_number_detection), 1)
     criterion = SetCriterion(
         num_classes=num_classes,
         weight_dict=build_weight_dict(cfg),
         eos_coef=cfg.eos_coef,
         losses=losses,
         matcher_kind=matcher_kind,
+        ordered_n_assign=n_assign,
+        ordered_num_track_slots=num_track_slots,
         focal_loss=cfg.focal_loss,
         focal_alpha=cfg.focal_alpha,
         focal_gamma=cfg.focal_gamma,

@@ -87,6 +87,8 @@ class SetCriterion:
         cost_bbox: float = 5.0,
         cost_giou: float = 2.0,
         matcher_kind: str = "hungarian",
+        ordered_n_assign: int = 1,
+        ordered_num_track_slots: int = 0,
     ):
         self.num_classes = num_classes
         self.weight_dict = weight_dict
@@ -101,6 +103,8 @@ class SetCriterion:
         self.cost_bbox = cost_bbox
         self.cost_giou = cost_giou
         self.matcher_kind = matcher_kind
+        self.ordered_n_assign = ordered_n_assign
+        self.ordered_num_track_slots = ordered_num_track_slots
 
     # --- matching -------------------------------------------------------
     def match(self, outputs, targets):
@@ -110,6 +114,21 @@ class SetCriterion:
             from .matcher import ordered_match_from_track_ids
 
             return ordered_match_from_track_ids(targets)
+        if self.matcher_kind == "ordered_transformer":
+            # dual-stream KineT with positional query groups (reference
+            # OrderDetectionsMatcherTransformer2, matcher.py:205-537);
+            # detections pass through the model outputs
+            from .matcher import ordered_match_transformer
+
+            return ordered_match_transformer(
+                targets,
+                outputs["detections"],
+                outputs["det_valid"],
+                num_track_slots=self.ordered_num_track_slots,
+                n_assign=self.ordered_n_assign,
+                cost_bbox=self.cost_bbox,
+                cost_giou=self.cost_giou,
+            )
         return hungarian_match(
             outputs["pred_logits"],
             outputs["pred_boxes"],
@@ -190,10 +209,10 @@ class SetCriterion:
         query_valid = outputs.get("query_valid")
         if query_valid is None:
             query_valid = jnp.ones(logits.shape[:2], bool)
-        if self.focal_loss:
-            non_empty = jnp.max(jax.nn.sigmoid(logits), axis=-1) > 0.5
-        else:
-            non_empty = jnp.argmax(logits, axis=-1) != logits.shape[-1] - 1
+        # reference detr.py:718 counts argmax != last-class as non-empty in
+        # BOTH modes (under focal the last class is a real class — the
+        # reference keeps the quirk; we match it, the metric is log-only)
+        non_empty = jnp.argmax(logits, axis=-1) != logits.shape[-1] - 1
         card_pred = jnp.sum(non_empty & query_valid, axis=1)
         tgt_len = jnp.sum(targets.valid, axis=1)
         err = jnp.mean(jnp.abs(card_pred.astype(jnp.float32) - tgt_len))

@@ -51,6 +51,16 @@ class DeformableDETR(nn.Module):
     multi_frame_attention: bool = False
     multi_frame_encoding: bool = True
     merge_frame_features: bool = False
+    # TPU-first redesign: frame-slot-agnostic encoder so the tracker can
+    # reuse last step's encoded memory as this step's prev-frame memory
+    # (pass `prev_memory`), halving encoder work per frame. The reference
+    # re-encodes both frames every step (deformable_transformer.py:160-173);
+    # within its *separate per-frame* encoders the frame-slot label carries
+    # no cross-frame information, so dropping it only removes a symmetry
+    # label — frames stay distinguished in the decoder via per-level params.
+    cache_prev_encoder: bool = False
+    enc_msda_shared_locs: bool = False  # encoder MSDA: head-shared locations
+    enc_msda_topk: int = 0  # encoder MSDA: DEFA-style top-k pruning
     num_track_slots: int = 0
     focal_loss: bool = True
     masks: bool = False
@@ -117,8 +127,18 @@ class DeformableDETR(nn.Module):
             two_stage=self.two_stage,
             two_stage_num_proposals=self.num_queries,
             multi_frame_attention_separate_encoder=self.multi_frame_attention,
+            frame_agnostic_levels=self.cache_prev_encoder,
+            enc_shared_locs=self.enc_msda_shared_locs,
+            enc_topk=self.enc_msda_topk,
             remat=self.remat,
         )
+        if self.cache_prev_encoder:
+            assert self.multi_frame_attention, (
+                "cache_prev_encoder requires multi_frame_attention"
+            )
+            assert not self.merge_frame_features, (
+                "cache_prev_encoder is incompatible with merge_frame_features"
+            )
         if not self.two_stage:
             self.query_embed = self.param(
                 "query_embed",
@@ -185,6 +205,9 @@ class DeformableDETR(nn.Module):
         batch: ImageBatch,
         targets: Optional[Targets] = None,
         prev_features=None,  # (feats list, pad_mask) of the previous frame
+        prev_memory=None,  # (encoded memory [B,S_half,C], pad_mask) of the
+        # previous frame — skips its backbone/input-proj/encoder entirely
+        # (requires cache_prev_encoder; produced as out["frame_memory"])
         deterministic: bool = True,
     ):
         feats_all, _ = self.backbone(batch.images, batch.pad_mask)
@@ -211,18 +234,33 @@ class DeformableDETR(nn.Module):
         )
         pos = self._pos_embeds(masks, frame_idx=0)
 
+        tf_kwargs = {}
         if self.multi_frame_attention:
-            if prev_features is None:
-                prev_feats, prev_pad = feats, batch.pad_mask
+            if self.cache_prev_encoder and prev_memory is not None:
+                mem_prev, prev_pad = prev_memory
+                p_masks = [
+                    downsample_pad_mask(prev_pad, (m.shape[1], m.shape[2]))
+                    for m in masks
+                ]
+                tf_kwargs = dict(prev_encoded=mem_prev, prev_masks=p_masks)
+            elif self.cache_prev_encoder and prev_features is None:
+                # first frame: prev := current; with the frame-agnostic
+                # encoder its memory is exactly mem_cur — one encoder run
+                tf_kwargs = dict(prev_is_current=True)
             else:
-                prev_feats, prev_pad = prev_features
-            p_srcs, p_masks = self._project_levels(
-                prev_feats, prev_pad, merge_with=prev_projected
-            )
-            p_pos = self._pos_embeds(p_masks, frame_idx=1)
-            srcs = srcs + p_srcs
-            masks = masks + p_masks
-            pos = pos + p_pos
+                if prev_features is None:
+                    prev_feats, prev_pad = feats, batch.pad_mask
+                else:
+                    prev_feats, prev_pad = prev_features
+                p_srcs, p_masks = self._project_levels(
+                    prev_feats, prev_pad, merge_with=prev_projected
+                )
+                p_pos = self._pos_embeds(
+                    p_masks, frame_idx=0 if self.cache_prev_encoder else 1
+                )
+                srcs = srcs + p_srcs
+                masks = masks + p_masks
+                pos = pos + p_pos
 
         t = self.num_track_slots
         if t > 0:
@@ -258,6 +296,7 @@ class DeformableDETR(nn.Module):
                     else None
                 ),
                 deterministic=deterministic,
+                **tf_kwargs,
             )
         )
 
@@ -295,6 +334,14 @@ class DeformableDETR(nn.Module):
             }
         # features of this frame, reusable as next frame's prev_features
         out["frame_features"] = (feats, batch.pad_mask)
+        if self.multi_frame_attention and self.cache_prev_encoder:
+            # this frame's encoded memory, reusable as next frame's
+            # prev_memory (frame-agnostic encoder makes it exact)
+            split = sum(
+                m.shape[1] * m.shape[2]
+                for m in masks[: self.num_feature_levels]
+            )
+            out["frame_memory"] = (memory[:, :split], batch.pad_mask)
         out["backbone_features"] = feats_all  # all levels (mask-head FPN)
         out["memory"] = memory
         return out

@@ -25,7 +25,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.msda import ms_deform_attn_patch as ms_deform_attn
+from ..ops.msda import (
+    ms_deform_attn_patch_shared,
+    ms_deform_attn_quad_unroll as ms_deform_attn,
+    ms_deform_attn_topk_quad,
+)
 
 
 def inverse_sigmoid(x, eps=1e-5):
@@ -54,6 +58,13 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    # perf variants (TPU gather cost is per row — both cut rows):
+    # shared_locs: one set of sampling locations shared by all heads
+    # (weights stay per-head) -> M x fewer gather rows;
+    # top_k > 0: DEFA-style pruning (PAPERS.md 2403.10913) — gather only
+    # the top_k of L*P samples per (query, head) by attention weight.
+    shared_locs: bool = False
+    top_k: int = 0
 
     @nn.compact
     def __call__(
@@ -68,20 +79,24 @@ class MSDeformAttn(nn.Module):
         b, lq, _ = query.shape
         m, l, p = self.n_heads, self.n_levels, self.n_points
         d_head = self.d_model // m
+        assert not (self.shared_locs and self.top_k), (
+            "shared_locs and top_k are separate variants; enable one"
+        )
 
         value = nn.Dense(self.d_model, name="value_proj")(src)
         if src_padding_mask is not None:
             value = jnp.where(src_padding_mask[..., None], 0.0, value)
         value = value.reshape(b, -1, m, d_head)
 
+        m_loc = 1 if self.shared_locs else m
         offsets = nn.Dense(
-            m * l * p * 2,
+            m_loc * l * p * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: _offset_grid_init(
-                m, l, p
+                m_loc, l, p
             ).astype(dtype),
             name="sampling_offsets",
-        )(query).reshape(b, lq, m, l, p, 2)
+        )(query).reshape(b, lq, m_loc, l, p, 2)
         attn = nn.Dense(
             m * l * p,
             kernel_init=nn.initializers.zeros,
@@ -108,12 +123,29 @@ class MSDeformAttn(nn.Module):
 
         # sampling core runs in the value dtype (bf16 under mixed precision);
         # coordinates/weights stay fp32 inside the op
-        out = ms_deform_attn(
-            value,
-            tuple(spatial_shapes),
-            loc.astype(jnp.float32),
-            attn.astype(jnp.float32),
-        ).astype(query.dtype)
+        if self.shared_locs:
+            out = ms_deform_attn_patch_shared(
+                value,
+                tuple(spatial_shapes),
+                loc[:, :, 0].astype(jnp.float32),
+                attn.astype(jnp.float32),
+            )
+        elif self.top_k and self.top_k < l * p:
+            out = ms_deform_attn_topk_quad(
+                value,
+                tuple(spatial_shapes),
+                loc.astype(jnp.float32),
+                attn.astype(jnp.float32),
+                top_k=self.top_k,
+            )
+        else:
+            out = ms_deform_attn(
+                value,
+                tuple(spatial_shapes),
+                loc.astype(jnp.float32),
+                attn.astype(jnp.float32),
+            )
+        out = out.astype(query.dtype)
         return nn.Dense(self.d_model, name="output_proj")(out)
 
 
@@ -133,6 +165,8 @@ class DeformableEncoderLayer(nn.Module):
     n_levels: int
     n_heads: int
     n_points: int
+    shared_locs: bool = False
+    top_k: int = 0
 
     @nn.compact
     def __call__(
@@ -142,6 +176,7 @@ class DeformableEncoderLayer(nn.Module):
         q = src + pos if pos is not None else src
         src2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
+            shared_locs=self.shared_locs, top_k=self.top_k,
             name="self_attn",
         )(q, reference_points, src, spatial_shapes, padding_mask)
         src = nn.LayerNorm()(
@@ -180,6 +215,8 @@ class DeformableEncoder(nn.Module):
     n_levels: int
     n_heads: int
     n_points: int
+    shared_locs: bool = False
+    top_k: int = 0
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM during
     # training — the encoder activations at 800px are the memory peak)
 
@@ -198,7 +235,9 @@ class DeformableEncoder(nn.Module):
         for i in range(self.num_layers):
             out = layer_cls(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
-                self.n_levels, self.n_heads, self.n_points, name=f"layer{i}",
+                self.n_levels, self.n_heads, self.n_points,
+                shared_locs=self.shared_locs, top_k=self.top_k,
+                name=f"layer{i}",
             )(out, pos, ref, spatial_shapes, padding_mask, deterministic)
         return out
 
@@ -337,6 +376,16 @@ class DeformableTransformer(nn.Module):
     two_stage: bool = False
     two_stage_num_proposals: int = 300
     multi_frame_attention_separate_encoder: bool = False
+    # frame-slot-agnostic encoder: both frames' halves get the SAME per-level
+    # embeds (index i % half), so a frame's encoded memory is identical
+    # whether it is the current or the previous frame — enabling the tracker
+    # to cache last step's encoded memory instead of re-encoding (the
+    # reference re-encodes both frames every step,
+    # deformable_transformer.py:160-173). The decoder still distinguishes
+    # frames via its per-level (0..2L-1) sampling offset/attention params.
+    frame_agnostic_levels: bool = False
+    enc_shared_locs: bool = False  # encoder MSDA: head-shared locations
+    enc_topk: int = 0  # encoder MSDA: DEFA-style top-k sample pruning
     remat: bool = False
 
     def setup(self):
@@ -346,7 +395,8 @@ class DeformableTransformer(nn.Module):
         self.encoder = DeformableEncoder(
             self.num_encoder_layers, self.d_model, self.dim_feedforward,
             self.dropout, self.activation, enc_levels, self.nheads,
-            self.enc_n_points, remat=self.remat,
+            self.enc_n_points, shared_locs=self.enc_shared_locs,
+            top_k=self.enc_topk, remat=self.remat,
         )
         self.decoder = DeformableDecoder(
             self.num_decoder_layers, self.d_model, self.dim_feedforward,
@@ -408,45 +458,103 @@ class DeformableTransformer(nn.Module):
         class_embed_fn=None,  # two-stage scoring head (bound module)
         bbox_embed_fn=None,  # two-stage box head
         bbox_embed_fns=None,  # per-layer refine heads
+        prev_encoded=None,  # [B, S_half, C] cached prev-frame encoder memory
+        prev_masks=None,  # per-level prev pad masks (with prev_encoded)
+        prev_is_current=False,  # first frame: reuse mem_cur as mem_prev
         deterministic=True,
     ):
         b = srcs[0].shape[0]
-        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
-        src_flat = jnp.concatenate(
-            [s.reshape(b, -1, self.d_model) for s in srcs], axis=1
+        half_l = self.num_feature_levels // 2
+        lvl_embed_idx = (
+            (lambda i: i % half_l)
+            if self.frame_agnostic_levels
+            and self.multi_frame_attention_separate_encoder
+            else (lambda i: i)
         )
-        mask_flat = jnp.concatenate([m.reshape(b, -1) for m in masks], axis=1)
-        pos_flat = jnp.concatenate(
-            [
-                p.reshape(b, -1, self.d_model) + self.level_embed[i][None, None]
-                for i, p in enumerate(pos_embeds)
-            ],
-            axis=1,
-        ).astype(src_flat.dtype)
-        valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)
 
-        if self.multi_frame_attention_separate_encoder:
-            # two frames, half the levels each (reference :160-173); the
-            # CURRENT frame occupies the first half of the list here
-            # (deformable_detr emits [cur levels..., prev levels...])
-            half_l = self.num_feature_levels // 2
-            split = sum(h * w for h, w in spatial_shapes[:half_l])
+        if prev_encoded is not None or prev_is_current:
+            # cached-memory path: srcs/masks/pos_embeds carry the CURRENT
+            # frame's half only; the prev half is supplied pre-encoded (or
+            # aliased to the current frame's memory on the first frame)
+            assert self.multi_frame_attention_separate_encoder
+            assert self.frame_agnostic_levels, (
+                "prev-memory caching requires the frame-agnostic encoder"
+            )
+            spatial_cur = tuple((s.shape[1], s.shape[2]) for s in srcs)
+            spatial_shapes = spatial_cur + spatial_cur
+            src_flat = jnp.concatenate(
+                [s.reshape(b, -1, self.d_model) for s in srcs], axis=1
+            )
+            mask_cur = jnp.concatenate(
+                [m.reshape(b, -1) for m in masks], axis=1
+            )
+            pos_flat = jnp.concatenate(
+                [
+                    p.reshape(b, -1, self.d_model)
+                    + self.level_embed[i][None, None]
+                    for i, p in enumerate(pos_embeds)
+                ],
+                axis=1,
+            ).astype(src_flat.dtype)
+            vr_cur = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)
             mem_cur = self.encoder(
-                src_flat[:, :split], spatial_shapes[:half_l],
-                valid_ratios[:, :half_l], pos_flat[:, :split],
-                mask_flat[:, :split], deterministic,
-            )
-            mem_prev = self.encoder(
-                src_flat[:, split:], spatial_shapes[half_l:],
-                valid_ratios[:, half_l:], pos_flat[:, split:],
-                mask_flat[:, split:], deterministic,
-            )
-            memory = jnp.concatenate([mem_cur, mem_prev], axis=1)
-        else:
-            memory = self.encoder(
-                src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+                src_flat, spatial_cur, vr_cur, pos_flat, mask_cur,
                 deterministic,
             )
+            if prev_is_current:
+                mem_prev, mask_prev, vr_prev = mem_cur, mask_cur, vr_cur
+            else:
+                mem_prev = prev_encoded.astype(mem_cur.dtype)
+                mask_prev = jnp.concatenate(
+                    [m.reshape(b, -1) for m in prev_masks], axis=1
+                )
+                vr_prev = jnp.stack(
+                    [get_valid_ratio(m) for m in prev_masks], axis=1
+                )
+            memory = jnp.concatenate([mem_cur, mem_prev], axis=1)
+            mask_flat = jnp.concatenate([mask_cur, mask_prev], axis=1)
+            valid_ratios = jnp.concatenate([vr_cur, vr_prev], axis=1)
+        else:
+            spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+            src_flat = jnp.concatenate(
+                [s.reshape(b, -1, self.d_model) for s in srcs], axis=1
+            )
+            mask_flat = jnp.concatenate(
+                [m.reshape(b, -1) for m in masks], axis=1
+            )
+            pos_flat = jnp.concatenate(
+                [
+                    p.reshape(b, -1, self.d_model)
+                    + self.level_embed[lvl_embed_idx(i)][None, None]
+                    for i, p in enumerate(pos_embeds)
+                ],
+                axis=1,
+            ).astype(src_flat.dtype)
+            valid_ratios = jnp.stack(
+                [get_valid_ratio(m) for m in masks], axis=1
+            )
+
+            if self.multi_frame_attention_separate_encoder:
+                # two frames, half the levels each (reference :160-173); the
+                # CURRENT frame occupies the first half of the list here
+                # (deformable_detr emits [cur levels..., prev levels...])
+                split = sum(h * w for h, w in spatial_shapes[:half_l])
+                mem_cur = self.encoder(
+                    src_flat[:, :split], spatial_shapes[:half_l],
+                    valid_ratios[:, :half_l], pos_flat[:, :split],
+                    mask_flat[:, :split], deterministic,
+                )
+                mem_prev = self.encoder(
+                    src_flat[:, split:], spatial_shapes[half_l:],
+                    valid_ratios[:, half_l:], pos_flat[:, split:],
+                    mask_flat[:, split:], deterministic,
+                )
+                memory = jnp.concatenate([mem_cur, mem_prev], axis=1)
+            else:
+                memory = self.encoder(
+                    src_flat, spatial_shapes, valid_ratios, pos_flat,
+                    mask_flat, deterministic,
+                )
 
         enc_outputs_class = None
         enc_outputs_coord_unact = None

@@ -441,6 +441,11 @@ class KinematicDetectorTransformer(nn.Module):
             "pred_boxes": boxes[-1],
             "hs_embed": jnp.concatenate([hs_det[-1], hs_meta[-1]], axis=-1),
             "query_valid": ~tgt_pad,
+            # input detections pass through for the ordered-transformer
+            # matcher (reference OrderDetectionsMatcherTransformer2 consumes
+            # them from the batch, matcher.py:205-537)
+            "detections": batch.detections,
+            "det_valid": ~batch.pad_mask,
         }
         if self.aux_loss:
             out["aux_outputs"] = [

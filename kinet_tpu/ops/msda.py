@@ -253,6 +253,575 @@ def ms_deform_attn_loop(
     return out.reshape(b, lq, m * d)
 
 
+def _slot_weights(c0, f, size, size_padded):
+    """Window-slot weights for one axis of a 2-wide bilinear window.
+    c0=floor coord, f=frac, size=true extent, size_padded=buffer extent.
+    Out-of-range corners weigh 0; the clamp shift remaps corner weights to
+    window slots (see ms_deform_attn_patch docstring)."""
+    w0 = (1 - f) * ((c0 >= 0) & (c0 <= size - 1))
+    w1 = f * ((c0 + 1 >= 0) & (c0 + 1 <= size - 1))
+    c0i = c0.astype(jnp.int32)
+    hi = jnp.asarray(size_padded, jnp.int32) - 2
+    c0c = jnp.clip(c0i, 0, hi)
+    shift = c0c - c0i  # {-1, 0, +1}
+    s0 = jnp.where(shift == 0, w0, jnp.where(shift == 1, w1, 0.0))
+    s1 = jnp.where(shift == 0, w1, jnp.where(shift == -1, w0, 0.0))
+    return jnp.stack([s0, s1], -1), c0c
+
+
+def _quad_slot_weights(c0, f, size):
+    """Slot weights for the quad-table formulation: the table row at clamped
+    c0 holds corners (c0, c0+1) where column c0+1 is edge-duplicated, so the
+    clamp range is [0, size-1] and only shifts {0, +1, -1} occur."""
+    w0 = (1 - f) * ((c0 >= 0) & (c0 <= size - 1))
+    w1 = f * ((c0 + 1 >= 0) & (c0 + 1 <= size - 1))
+    c0i = c0.astype(jnp.int32)
+    hi = jnp.asarray(size, jnp.int32) - 1
+    c0c = jnp.clip(c0i, 0, hi)
+    shift = c0c - c0i
+    s0 = jnp.where(shift == 0, w0, jnp.where(shift == 1, w1, 0.0))
+    s1 = jnp.where(shift == 0, w1, 0.0)
+    return jnp.stack([s0, s1], -1), c0c
+
+
+def _build_quad(v, axis_x, axis_y):
+    """[..., H, W, C] -> [..., H, W, 4C]: concat (y0x0, y0x1, y1x0, y1x1)
+    with edge-duplicated shifts. Two dense copies — trivially cheap next to
+    the gather it feeds."""
+
+    def shift_edge(a, axis):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(1, None)
+        last = [slice(None)] * a.ndim
+        last[axis] = slice(-1, None)
+        return jnp.concatenate([a[tuple(sl)], a[tuple(last)]], axis=axis)
+
+    vx = jnp.concatenate([v, shift_edge(v, axis_x)], axis=-1)
+    return jnp.concatenate([vx, shift_edge(vx, axis_y)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_quad(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Quad-table flat-row gather — the fast exact formulation.
+
+    Measured on v5e (scripts/gather_bw_probe.py): XLA TPU gathers whose
+    slice spans >1 row of the major dim run at ~0.2-2 GB/s, while flat
+    single-row [1, C] gathers run at 30-45 GB/s. So instead of fetching a
+    [2, 2, D] patch per sample, pre-interleave each cell's 2x2 bilinear
+    neighborhood into ONE row of a [H*W, 4D] quad table (two dense
+    edge-duplicated shifts + concats, negligible next to the gather) and
+    fetch it with a single [1, 4D] row gather. Exact same math as
+    ms_deform_attn_patch (oracle: tests/test_msda.py).
+    """
+    b, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    value_t = value.transpose(0, 2, 1, 3)  # [B, M, S, D]
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0,),
+    )
+
+    def gather_rows(vq, idx):
+        # vq [HW, 4D], idx [R, 1] -> [R, 1, 4D]
+        return jax.lax.gather(
+            vq, idx, dnums, slice_sizes=(1, 4 * d), mode="clip"
+        )
+
+    gather_bm = jax.vmap(jax.vmap(gather_rows))
+
+    out = jnp.zeros((b, m, lq, d), compute_dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_t[:, :, starts[lvl] : starts[lvl] + h * w].reshape(
+            b, m, h, w, d
+        )
+        vq = _build_quad(v, axis_x=3, axis_y=2).reshape(b, m, h * w, 4 * d)
+        loc = sampling_locations[:, :, :, lvl].transpose(0, 2, 1, 3, 4)
+        aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
+        x = loc[..., 0] * w - 0.5  # [B, M, Lq, P]
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx, x0c = _quad_slot_weights(x0, x - x0, w)  # [B,M,Lq,P,2]
+        wy, y0c = _quad_slot_weights(y0, y - y0, h)
+        # corner order matches the quad layout: (y0x0, y0x1, y1x0, y1x1)
+        w4 = (wy[..., :, None] * wx[..., None, :]).reshape(
+            b, m, lq, p, 4
+        ) * aw[..., None]
+        idx = (y0c * w + x0c).reshape(b, m, lq * p, 1)
+        g = gather_bm(vq, idx).reshape(b, m, lq, p, 4, d)
+        out = out + jnp.einsum(
+            "bmqpc,bmqpcd->bmqd", w4.astype(compute_dtype), g
+        )
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, m * d).astype(jnp.float32)
+
+
+def _quad_all_levels(value_t, spatial_shapes, starts):
+    """[B, M, S, D] -> [B, M, S, 4D] quad table over all levels."""
+    b, m, s, d = value_t.shape
+    quads = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_t[:, :, starts[lvl] : starts[lvl] + h * w].reshape(
+            b, m, h, w, d
+        )
+        quads.append(
+            _build_quad(v, axis_x=3, axis_y=2).reshape(b, m, h * w, 4 * d)
+        )
+    return jnp.concatenate(quads, axis=2)
+
+
+_FLAT_DNUMS = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+)
+
+
+def _flat_cell_index(sampling_locations, spatial_shapes, starts):
+    """Per-sample flat cell index + folded 4-corner weights.
+
+    sampling_locations [..., L, P, 2] -> (idx [..., L, P] int32 into the
+    all-level quad table, w4 [..., L, P, 4] corner weights)."""
+    h_arr = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
+    w_arr = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    w_int = jnp.asarray([w for _, w in spatial_shapes], jnp.int32)
+    st = jnp.asarray(starts, jnp.int32)
+    shp = (1,) * (sampling_locations.ndim - 3)
+    hf = h_arr.reshape(*shp, -1, 1)
+    wf = w_arr.reshape(*shp, -1, 1)
+    x = sampling_locations[..., 0] * wf - 0.5
+    y = sampling_locations[..., 1] * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, x0c = _quad_slot_weights(x0, x - x0, wf)
+    wy, y0c = _quad_slot_weights(y0, y - y0, hf)
+    w4 = (wy[..., :, None] * wx[..., None, :]).reshape(*x.shape, 4)
+    idx = st.reshape(*shp, -1, 1) + y0c * w_int.reshape(*shp, -1, 1) + x0c
+    return idx, w4
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_quad_unroll(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """THE production formulation: quad-table rows + per-head UNROLLED flat
+    gathers. Exact semantics (oracle: tests/test_msda.py).
+
+    Why fastest (scripts/gather_bw_probe.py, v5e):
+    - gathers whose slice spans >1 major-dim row run at 0.2-2 GB/s; flat
+      [1, C] single-row gathers run fast -> pre-interleave each cell's 2x2
+      bilinear corners into one [1, 4D] row (two dense shifted concats);
+    - gather operands with BATCH dims (from vmap) hit a slow emitter ->
+      unroll the head loop into M separate un-batched gathers;
+    - tables <= ~20 MB gather at ~31 GB/s vs ~14 GB/s above -> per-head
+      all-level quad table is ~7 MB at flagship scale, in the fast tier.
+    """
+    b, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    value_t = value.transpose(0, 2, 1, 3)  # [B, M, S, D]
+    vq = _quad_all_levels(value_t, spatial_shapes, starts)  # [B, M, S, 4D]
+
+    idx, w4 = _flat_cell_index(sampling_locations, spatial_shapes, starts)
+    # [B, Lq, M, L, P(, 4)] -> [M, B, Lq, L*P(, 4)]
+    idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, b, lq * l * p)
+    w4 = (
+        w4 * attention_weights[..., None]
+    ).transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
+
+    bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
+    outs = []
+    for hm in range(m):
+        tbl = vq[:, hm].reshape(b * s, 4 * d)
+        rows = (idx[hm] + bofs).reshape(b * lq * l * p, 1)
+        g = jax.lax.gather(
+            tbl, rows, _FLAT_DNUMS, slice_sizes=(1, 4 * d), mode="clip"
+        ).reshape(b, lq, l * p, 4, d)
+        outs.append(
+            jnp.einsum("bqkc,bqkcd->bqd", w4[hm].astype(compute_dtype), g)
+        )
+    out = jnp.stack(outs, axis=2)  # [B, Lq, M, D]
+    return out.reshape(b, lq, m * d).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "top_k"))
+def ms_deform_attn_topk_quad(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    top_k: int = 8,
+) -> jnp.ndarray:
+    """DEFA-style top-k pruning on the quad-table fast path: per (query,
+    head) gather only the top_k of L*P samples by attention weight — bytes
+    AND rows scale by top_k/(L*P) on top of ms_deform_attn_quad_unroll's
+    row-rate win. Oracle: full op with non-top-k weights zeroed."""
+    b, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    k = min(top_k, l * p)
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    value_t = value.transpose(0, 2, 1, 3)
+    vq = _quad_all_levels(value_t, spatial_shapes, starts)
+
+    idx, w4 = _flat_cell_index(sampling_locations, spatial_shapes, starts)
+    aw_f = attention_weights.reshape(b, lq, m, l * p)
+    top_w, top_i = jax.lax.top_k(aw_f, k)  # [B, Lq, M, K]
+    idx_f = idx.reshape(b, lq, m, l * p)
+    idx_k = jnp.take_along_axis(idx_f, top_i, axis=3)  # [B, Lq, M, K]
+    w4_f = w4.reshape(b, lq, m, l * p, 4)
+    w4_k = jnp.take_along_axis(w4_f, top_i[..., None], axis=3)
+    w4_k = w4_k * top_w[..., None]
+
+    idx_k = idx_k.transpose(2, 0, 1, 3).reshape(m, b, lq * k)
+    w4_k = w4_k.transpose(2, 0, 1, 3, 4).reshape(m, b, lq, k, 4)
+    bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
+    outs = []
+    for hm in range(m):
+        tbl = vq[:, hm].reshape(b * s, 4 * d)
+        rows = (idx_k[hm] + bofs).reshape(b * lq * k, 1)
+        g = jax.lax.gather(
+            tbl, rows, _FLAT_DNUMS, slice_sizes=(1, 4 * d), mode="clip"
+        ).reshape(b, lq, k, 4, d)
+        outs.append(
+            jnp.einsum("bqkc,bqkcd->bqd", w4_k[hm].astype(compute_dtype), g)
+        )
+    out = jnp.stack(outs, axis=2)
+    return out.reshape(b, lq, m * d).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_quad_fold(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Quad-table gather with (batch, head, level) FOLDED into the row index:
+    one un-batched flat [1, 4D] row gather over a single [B*M*S, 4D] quad
+    table per layer. Batch dims on lax.gather demote it to a slow emitter on
+    TPU (scripts/gather_bw_probe.py: 0.2-2 GB/s batched/multi-row vs 30-45
+    GB/s flat single-row); folding keeps the fast path. Exact semantics.
+    """
+    b, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    value_t = value.transpose(0, 2, 1, 3)  # [B, M, S, D]
+
+    # build the per-level quad tables, concatenated back to [B, M, S, 4D]
+    quads = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_t[:, :, starts[lvl] : starts[lvl] + h * w].reshape(
+            b, m, h, w, d
+        )
+        quads.append(
+            _build_quad(v, axis_x=3, axis_y=2).reshape(b, m, h * w, 4 * d)
+        )
+    vq = jnp.concatenate(quads, axis=2).reshape(b * m * s, 4 * d)
+
+    h_arr = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
+    w_arr = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    w_int = jnp.asarray([w for _, w in spatial_shapes], jnp.int32)
+    st = jnp.asarray(starts, jnp.int32)
+
+    loc_t = sampling_locations.transpose(0, 2, 1, 3, 4, 5)  # [B,M,Lq,L,P,2]
+    aw_t = attention_weights.transpose(0, 2, 1, 3, 4)  # [B,M,Lq,L,P]
+    x = loc_t[..., 0] * w_arr[None, None, None, :, None] - 0.5
+    y = loc_t[..., 1] * h_arr[None, None, None, :, None] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, x0c = _quad_slot_weights(x0, x - x0, w_arr[None, None, None, :, None])
+    wy, y0c = _quad_slot_weights(y0, y - y0, h_arr[None, None, None, :, None])
+    w4 = (wy[..., :, None] * wx[..., None, :]).reshape(
+        b, m, lq, l, p, 4
+    ) * aw_t[..., None]
+
+    cell = st[None, None, None, :, None] + y0c * w_int[None, None, None, :, None] + x0c
+    bm = (
+        jnp.arange(b * m, dtype=jnp.int32).reshape(b, m, 1, 1, 1) * s
+    )
+    idx = (bm + cell).reshape(b * m * lq * l * p, 1)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0,),
+    )
+    g = jax.lax.gather(
+        vq, idx, dnums, slice_sizes=(1, 4 * d), mode="clip"
+    ).reshape(b, m, lq, l * p, 4, d)
+    out = jnp.einsum(
+        "bmqkc,bmqkcd->bmqd",
+        w4.reshape(b, m, lq, l * p, 4).astype(compute_dtype),
+        g,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, m * d).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_quad_shared_fold(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,  # [B, Lq, L, P, 2] — shared over heads
+    attention_weights: jnp.ndarray,  # [B, Lq, M, L, P]
+) -> jnp.ndarray:
+    """Head-shared + index-folded quad gather: one un-batched [1, 4*M*D] row
+    per (sample, level) from a [B*S, 4*M*D] quad table."""
+    b, s, m, d = value.shape
+    _, lq, l, p, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    value_f = value.reshape(b, s, m * d)
+
+    quads = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_f[:, starts[lvl] : starts[lvl] + h * w].reshape(
+            b, h, w, m * d
+        )
+        quads.append(
+            _build_quad(v, axis_x=2, axis_y=1).reshape(b, h * w, 4 * m * d)
+        )
+    vq = jnp.concatenate(quads, axis=1).reshape(b * s, 4 * m * d)
+
+    h_arr = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
+    w_arr = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    w_int = jnp.asarray([w for _, w in spatial_shapes], jnp.int32)
+    st = jnp.asarray(starts, jnp.int32)
+
+    x = sampling_locations[..., 0] * w_arr[None, None, :, None] - 0.5
+    y = sampling_locations[..., 1] * h_arr[None, None, :, None] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, x0c = _quad_slot_weights(x0, x - x0, w_arr[None, None, :, None])
+    wy, y0c = _quad_slot_weights(y0, y - y0, h_arr[None, None, :, None])
+    w4 = (wy[..., :, None] * wx[..., None, :]).reshape(b, lq, l * p, 4)
+
+    cell = st[None, None, :, None] + y0c * w_int[None, None, :, None] + x0c
+    bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1, 1, 1) * s
+    idx = (bofs + cell).reshape(b * lq * l * p, 1)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0,),
+    )
+    g = jax.lax.gather(
+        vq, idx, dnums, slice_sizes=(1, 4 * m * d), mode="clip"
+    ).reshape(b, lq, l * p, 4, m, d)
+    sampled = jnp.einsum(
+        "bqkc,bqkcmd->bqkmd", w4.astype(compute_dtype), g
+    )
+    aw_k = attention_weights.transpose(0, 1, 3, 4, 2).reshape(b, lq, l * p, m)
+    out = jnp.einsum("bqkm,bqkmd->bqmd", aw_k.astype(compute_dtype), sampled)
+    return out.reshape(b, lq, m * d).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_quad_shared(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,  # [B, Lq, L, P, 2] — shared over heads
+    attention_weights: jnp.ndarray,  # [B, Lq, M, L, P]
+) -> jnp.ndarray:
+    """Quad-table flat-row gather with head-shared sampling locations: one
+    [1, 4*M*D] row per (sample, level) fetches all heads' 2x2 neighborhoods
+    — M x fewer rows than ms_deform_attn_quad on top of its row-rate win."""
+    b, s, m, d = value.shape
+    _, lq, l, p, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    value_f = value.reshape(b, s, m * d)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0,),
+    )
+
+    def gather_rows(vq, idx):
+        return jax.lax.gather(
+            vq, idx, dnums, slice_sizes=(1, 4 * m * d), mode="clip"
+        )
+
+    gather_b = jax.vmap(gather_rows)
+
+    out = jnp.zeros((b, lq, m, d), compute_dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_f[:, starts[lvl] : starts[lvl] + h * w].reshape(
+            b, h, w, m * d
+        )
+        vq = _build_quad(v, axis_x=2, axis_y=1).reshape(b, h * w, 4 * m * d)
+        loc = sampling_locations[:, :, lvl]  # [B, Lq, P, 2]
+        aw = attention_weights[:, :, :, lvl]  # [B, Lq, M, P]
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx, x0c = _quad_slot_weights(x0, x - x0, w)  # [B, Lq, P, 2]
+        wy, y0c = _quad_slot_weights(y0, y - y0, h)
+        w4 = (wy[..., :, None] * wx[..., None, :]).reshape(b, lq, p, 4)
+        idx = (y0c * w + x0c).reshape(b, lq * p, 1)
+        g = gather_b(vq, idx).reshape(b, lq, p, 4, m, d)
+        sampled = jnp.einsum(
+            "bqpc,bqpcmd->bqpmd", w4.astype(compute_dtype), g
+        )
+        out = out + jnp.einsum(
+            "bqmp,bqpmd->bqmd", aw.astype(compute_dtype), sampled
+        )
+    return out.reshape(b, lq, m * d).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "top_k"))
+def ms_deform_attn_topk(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    top_k: int = 8,
+) -> jnp.ndarray:
+    """DEFA-style pruned sampling (PAPERS.md: arxiv 2403.10913): per (query,
+    head), gather only the `top_k` of the L*P samples with the largest
+    attention weights — XLA TPU gather cost is per ROW, so rows (and time)
+    scale by top_k / (L*P). Weights are NOT renormalized (the softmax stays
+    over all L*P slots, pruned samples contribute 0 — they were near-0
+    anyway once trained).
+
+    Selected samples mix levels per row, so the gather operand is a
+    zero-padded level tower [L, Hp, Wp, D] per (batch, head) and each row
+    fetches a [1, 2, 2, D] patch at (level, y0, x0).
+    """
+    b, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    k = min(top_k, l * p)
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    hp = max(max(h for h, _ in spatial_shapes), 2)
+    wp = max(max(w for _, w in spatial_shapes), 2)
+
+    value_t = value.transpose(0, 2, 1, 3)  # [B, M, S, D]
+    tower = jnp.zeros((b, m, l, hp, wp, d), compute_dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_t[:, :, starts[lvl] : starts[lvl] + h * w].reshape(
+            b, m, 1, h, w, d
+        )
+        tower = jax.lax.dynamic_update_slice(tower, v, (0, 0, lvl, 0, 0, 0))
+
+    # top-k samples by attention weight, per (query, head)
+    aw_f = attention_weights.reshape(b, lq, m, l * p)
+    top_w, top_i = jax.lax.top_k(aw_f, k)  # [B, Lq, M, K]
+    loc_f = sampling_locations.reshape(b, lq, m, l * p, 2)
+    loc_k = jnp.take_along_axis(loc_f, top_i[..., None], axis=3)
+    lvl_k = (top_i // p).astype(jnp.int32)  # [B, Lq, M, K]
+
+    h_arr = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
+    w_arr = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    hf = h_arr[lvl_k]  # [B, Lq, M, K]
+    wf = w_arr[lvl_k]
+    x = loc_k[..., 0] * wf - 0.5
+    y = loc_k[..., 1] * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, x0c = _slot_weights(x0, x - x0, wf, jnp.maximum(wf, 2.0))
+    wy, y0c = _slot_weights(y0, y - y0, hf, jnp.maximum(hf, 2.0))
+    w22 = (wy[..., :, None] * wx[..., None, :]) * top_w[..., None, None]
+
+    # [B, M, Lq*K, 3] start indices (level, y0, x0)
+    idx = jnp.stack([lvl_k.astype(jnp.int32), y0c, x0c], -1)  # [B,Lq,M,K,3]
+    idx = idx.transpose(0, 2, 1, 3, 4).reshape(b, m, lq * k, 3)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+
+    def gather_patches(tw, ix):
+        # tw [L, Hp, Wp, D], ix [R, 3] -> [R, 2, 2, D]
+        return jax.lax.gather(
+            tw, ix, dnums, slice_sizes=(1, 2, 2, d), mode="clip"
+        )
+
+    g = jax.vmap(jax.vmap(gather_patches))(tower, idx)
+    g = g.reshape(b, m, lq, k, 2, 2, d)
+    w22 = w22.transpose(0, 2, 1, 3, 4, 5)  # [B, M, Lq, K, 2, 2]
+    out = jnp.einsum(
+        "bmqkyx,bmqkyxd->bmqd", w22.astype(compute_dtype), g
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, m * d).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_patch_shared(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,  # [B, Lq, L, P, 2] — SHARED over heads
+    attention_weights: jnp.ndarray,  # [B, Lq, M, L, P] — still per head
+) -> jnp.ndarray:
+    """Head-shared sampling locations: all M heads sample the same (level,
+    point) positions (attention weights stay per-head). One [2, 2, M*D]
+    patch row per (sample, level) fetches every head's values — M× fewer
+    gather rows than the per-head formulation (gather cost is per row).
+    """
+    b, s, m, d = value.shape
+    _, lq, l, p, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = value.dtype
+    value_f = value.reshape(b, s, m * d)  # heads fused into the row
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    def gather_patches(vg, idx):
+        # vg [H, W, M*D], idx [R, 2] -> [R, 2, 2, M*D]
+        return jax.lax.gather(
+            vg, idx, dnums, slice_sizes=(2, 2, m * d), mode="clip"
+        )
+
+    gather_b = jax.vmap(gather_patches)
+
+    out = jnp.zeros((b, lq, m, d), compute_dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_f[:, starts[lvl] : starts[lvl] + h * w].reshape(
+            b, h, w, m * d
+        )
+        hpd, wpd = max(h, 2), max(w, 2)
+        if (hpd, wpd) != (h, w):
+            v = jnp.pad(v, ((0, 0), (0, hpd - h), (0, wpd - w), (0, 0)))
+        loc = sampling_locations[:, :, lvl]  # [B, Lq, P, 2]
+        aw = attention_weights[:, :, :, lvl]  # [B, Lq, M, P]
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx, x0c = _slot_weights(x0, x - x0, w, wpd)  # [B, Lq, P, 2]
+        wy, y0c = _slot_weights(y0, y - y0, h, hpd)
+        w22 = wy[..., :, None] * wx[..., None, :]  # [B, Lq, P, 2, 2]
+        idx = jnp.stack([y0c, x0c], -1).reshape(b, lq * p, 2)
+        g = gather_b(v, idx).reshape(b, lq, p, 2, 2, m, d)
+        # corner-reduce first (keeps the big tensor out of the attn einsum)
+        sampled = jnp.einsum(
+            "bqpyx,bqpyxmd->bqpmd", w22.astype(compute_dtype), g
+        )
+        out = out + jnp.einsum(
+            "bqmp,bqpmd->bqmd", aw.astype(compute_dtype), sampled
+        )
+    return out.reshape(b, lq, m * d).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes",))
 def ms_deform_attn_patch(
     value: jnp.ndarray,

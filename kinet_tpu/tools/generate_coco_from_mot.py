@@ -115,6 +115,102 @@ def generate_coco_from_mot(
     }
 
 
+def generate_coco_from_mots(
+    mots_dir: str,
+    split: str = "train",
+    seqs: list[str] | None = None,
+    frame_range=(0.0, 1.0),
+):
+    """MOTS GT (space-delimited `frame id class h w rle`) -> COCO json with
+    RLE `segmentation` per annotation (reference generate_coco_from_mot.py
+    mots branch, :133-169 + load_mots_gt): bbox from the decoded mask,
+    class 1 (car) skipped, class 10 / id 10000 = ignore region, track_id =
+    id % 1000. The RLE counts string is carried into the json verbatim.
+    """
+    from ..utils.rle import rle_to_mask
+
+    base = osp.join(mots_dir, "train")
+    if seqs is None:
+        seqs = sorted(
+            s for s in os.listdir(base) if osp.isdir(osp.join(base, s))
+        )
+    images, annotations = [], []
+    img_id = 0
+    ann_id = 0
+    for seq in seqs:
+        seq_path = osp.join(base, seq)
+        info = _read_seqinfo(seq_path)
+        start = int(frame_range[0] * info["seq_length"])
+        end = int(frame_range[1] * info["seq_length"])
+        first_image_id = img_id
+        frame_to_img = {}
+        for f in range(start, end):
+            frame_to_img[f + 1] = img_id
+            images.append(
+                {
+                    "id": img_id,
+                    "file_name": f"{seq}_{f + 1:06d}{info['ext']}",
+                    "height": info["height"],
+                    "width": info["width"],
+                    "frame_id": f - start,
+                    "first_frame_image_id": first_image_id,
+                    "seq_length": end - start,
+                    "seq": seq,
+                }
+            )
+            img_id += 1
+
+        gt_file = osp.join(seq_path, "gt", "gt.txt")
+        if not osp.exists(gt_file):
+            continue
+        for line in open(gt_file):
+            fields = line.strip().split(" ")
+            if len(fields) < 6:
+                continue
+            frame = int(fields[0])
+            if frame not in frame_to_img:
+                continue
+            obj_id = int(fields[1])
+            class_id = int(fields[2])
+            h, w = int(fields[3]), int(fields[4])
+            rle = fields[5]
+            if class_id == 1:  # car class in KITTI-MOTS; not person
+                continue
+            mask = rle_to_mask(rle, (h, w))
+            ys, xs = mask.nonzero()
+            if len(xs):
+                bbox = [
+                    float(xs.min()), float(ys.min()),
+                    float(xs.max() - xs.min() + 1),
+                    float(ys.max() - ys.min() + 1),
+                ]
+            else:
+                bbox = [0.0, 0.0, 0.0, 0.0]
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": frame_to_img[frame],
+                    "category_id": 1,
+                    "bbox": bbox,
+                    "area": bbox[2] * bbox[3],
+                    "iscrowd": 0,
+                    "ignore": int(class_id == 10 or obj_id == 10000),
+                    "track_id": obj_id % 1000,
+                    "seq": seq,
+                    "visibility": 1.0,
+                    "segmentation": {"size": [h, w], "counts": rle},
+                }
+            )
+            ann_id += 1
+    return {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}],
+        "sequences": seqs,
+        "frame_range": {"start": frame_range[0], "end": frame_range[1]},
+    }
+
+
 def generate_det_json_from_mot(
     mot_dir: str, seqs: list[str], gt_json: dict
 ) -> dict:

@@ -100,11 +100,21 @@ def make_forward_fn(model, params, postprocess, attention_maps=False):
                     return found
         return None
 
+    import inspect
+
+    call_params = inspect.signature(type(model).__call__).parameters
+    model_takes_prev = "prev_features" in call_params
+    # encoded-memory caching (cache_prev_encoder): reuse last step's encoder
+    # output instead of re-encoding the previous frame every step
+    model_caches_memory = bool(getattr(model, "cache_prev_encoder", False))
+
     @jax.jit
-    def fwd(params, batch, targets, orig_size, prev_features):
+    def fwd(params, batch, targets, orig_size, prev_features, prev_memory):
         kwargs = {}
-        if prev_features is not None or "Deformable" in type(model).__name__:
+        if model_takes_prev:
             kwargs["prev_features"] = prev_features
+        if model_caches_memory:
+            kwargs["prev_memory"] = prev_memory
         if attention_maps:
             out, state = model.apply(
                 params, batch, targets, mutable=["intermediates"], **kwargs
@@ -117,7 +127,12 @@ def make_forward_fn(model, params, postprocess, attention_maps=False):
             "labels": res["labels"],
             "boxes": res["boxes"],
             "hs_embed": out["hs_embed"],
-            "frame_features": out.get("frame_features"),
+            # with memory caching the raw backbone features are not needed
+            # across frames — keep only the encoded memory
+            "frame_features": (
+                None if model_caches_memory else out.get("frame_features")
+            ),
+            "frame_memory": out.get("frame_memory"),
         }
         if "pred_masks" in out:
             # per-query mask probabilities at input resolution
@@ -185,6 +200,7 @@ class Tracker:
         self.tracks: list[Track] = []
         self.inactive_tracks: list[Track] = []
         self._prev_features = deque([None], maxlen=self.prev_frame_dist)
+        self._prev_memory = deque([None], maxlen=self.prev_frame_dist)
         if hard:
             self.track_num = 0
             self.results = {}
@@ -358,7 +374,8 @@ class Tracker:
         orig_size = jnp.asarray([[float(h0), float(w0)]], jnp.float32)
 
         res = self._fwd(
-            self.params, batch, targets, orig_size, self._prev_features[0]
+            self.params, batch, targets, orig_size,
+            self._prev_features[0], self._prev_memory[0],
         )
         scores = np.asarray(res["scores"][0])
         labels = np.asarray(res["labels"][0])
@@ -512,6 +529,8 @@ class Tracker:
         self.frame_index += 1
         if res["frame_features"] is not None:
             self._prev_features.append(res["frame_features"])
+        if res.get("frame_memory") is not None:
+            self._prev_memory.append(res["frame_memory"])
 
         if self.reid_sim_only:
             self.move_tracks_to_inactive(list(self.tracks))

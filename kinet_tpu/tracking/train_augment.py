@@ -223,20 +223,28 @@ def tracking_train_forward(
             k2, targets, pt, q4t_prev, prev_out,
             false_positive_prob, false_negative_prob,
         )
-        return aug, prev_out.get("frame_features")
+        # cache_prev_encoder models emit frame_memory: the current forward
+        # reuses the prev forward's encoded memory instead of re-encoding
+        # the prev frame (≙ the tracker's inference-time cache)
+        prev_mem = prev_out.get("frame_memory")
+        return aug, prev_out.get("frame_features"), prev_mem
 
     if backprop_prev_frame:
-        aug_targets, prev_frame_features = prev_chain(params)
+        aug_targets, prev_frame_features, prev_memory = prev_chain(params)
     else:
-        aug_targets, prev_frame_features = prev_chain(
+        aug_targets, prev_frame_features, prev_memory = prev_chain(
             jax.lax.stop_gradient(params)
         )
         aug_targets = jax.lax.stop_gradient(aug_targets)
         if prev_frame_features is not None:
             prev_frame_features = jax.lax.stop_gradient(prev_frame_features)
+        if prev_memory is not None:
+            prev_memory = jax.lax.stop_gradient(prev_memory)
 
     kw = {}
-    if prev_frame_features is not None:
+    if prev_memory is not None:
+        kw["prev_memory"] = prev_memory
+    elif prev_frame_features is not None:
         kw["prev_features"] = prev_frame_features
     out = model.apply(
         params, batch, aug_targets, deterministic=deterministic, rngs=rngs, **kw

@@ -85,7 +85,7 @@ class CocoEvaluator:
         cats = sorted({c - 1 for c in self.gt.cats}) or [0]
         n_t = len(IOU_THRS)
         precisions = -np.ones((n_t, len(REC_THRS), len(cats), len(AREA_RNG)))
-        recalls = -np.ones((n_t, len(cats), len(AREA_RNG)))
+        recalls = -np.ones((n_t, len(cats), len(AREA_RNG), len(MAX_DETS)))
 
         for ci, cat in enumerate(cats):
             # gather all dets/gt of this category over all predicted images
@@ -109,12 +109,20 @@ class CocoEvaluator:
                     (d_scores, d_boxes, g_boxes, g_crowd, g_area, iou)
                 )
             for ai, (aname, (lo, hi)) in enumerate(AREA_RNG.items()):
-                # per-image matching at each IoU threshold
-                all_scores, all_matched, all_ignored = [], [], []
+                # per-image matching at each IoU threshold; per-image
+                # results are kept so each maxDets tier (1/10/100) can
+                # truncate the score-sorted detections per IMAGE before the
+                # global sweep — exactly pycocotools' dtMatches[:, :k]
+                per_img = []  # (scores, matched, ignored) in score order
                 n_gt = 0
                 for d_scores, d_boxes, g_boxes, g_crowd, g_area, iou in records:
                     g_ignore = g_crowd | (g_area < lo) | (g_area > hi)
                     n_gt += int((~g_ignore).sum())
+                    # pycocotools sorts GT ignored-last before matching (so
+                    # a det prefers any non-ignored gt over ignored ones)
+                    g_order = np.argsort(g_ignore, kind="stable")
+                    g_ignore_s = g_ignore[g_order]
+                    iou_s = iou[:, g_order] if len(g_boxes) else iou
                     d_area = (
                         (d_boxes[:, 2] - d_boxes[:, 0])
                         * (d_boxes[:, 3] - d_boxes[:, 1])
@@ -127,60 +135,69 @@ class CocoEvaluator:
                         for di in range(len(d_boxes)):
                             best, best_g = thr, -1
                             for gi in range(len(g_boxes)):
-                                if taken[gi] and not g_ignore[gi]:
+                                if taken[gi] and not g_ignore_s[gi]:
                                     continue
                                 if (
                                     best_g >= 0
-                                    and g_ignore[gi]
-                                    and not g_ignore[best_g]
+                                    and g_ignore_s[gi]
+                                    and not g_ignore_s[best_g]
                                 ):
                                     break  # gt sorted: ignored last
-                                if iou[di, gi] >= best:
-                                    best = iou[di, gi]
+                                if iou_s[di, gi] >= best:
+                                    best = iou_s[di, gi]
                                     best_g = gi
                             if best_g >= 0:
                                 taken[best_g] = True
-                                if g_ignore[best_g]:
+                                if g_ignore_s[best_g]:
                                     ignored[ti, di] = True
                                 else:
                                     matched[ti, di] = True
                             elif d_out_of_range[di]:
                                 ignored[ti, di] = True
-                    all_scores.append(d_scores)
-                    all_matched.append(matched)
-                    all_ignored.append(ignored)
+                    per_img.append((d_scores, matched, ignored))
                 total_gt[aname] = n_gt
                 if n_gt == 0:
                     continue
-                scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
-                matched = (
-                    np.concatenate(all_matched, axis=1)
-                    if all_matched
-                    else np.zeros((n_t, 0), bool)
-                )
-                ignored = (
-                    np.concatenate(all_ignored, axis=1)
-                    if all_ignored
-                    else np.zeros((n_t, 0), bool)
-                )
-                order = np.argsort(-scores, kind="stable")
-                matched = matched[:, order]
-                ignored = ignored[:, order]
-                for ti in range(n_t):
-                    keep = ~ignored[ti]
-                    tp = np.cumsum(matched[ti][keep])
-                    fp = np.cumsum(~matched[ti][keep])
-                    rec = tp / n_gt
-                    prec = tp / np.maximum(tp + fp, 1e-12)
-                    # monotone precision envelope
-                    for i in range(len(prec) - 1, 0, -1):
-                        prec[i - 1] = max(prec[i - 1], prec[i])
-                    idx = np.searchsorted(rec, REC_THRS, side="left")
-                    q = np.zeros(len(REC_THRS))
-                    valid = idx < len(prec)
-                    q[valid] = prec[idx[valid]]
-                    precisions[ti, :, ci, ai] = q
-                    recalls[ti, ci, ai] = rec[-1] if len(rec) else 0.0
+                for mi, maxdet in enumerate(MAX_DETS):
+                    scores = (
+                        np.concatenate([s[:maxdet] for s, _, _ in per_img])
+                        if per_img
+                        else np.zeros(0)
+                    )
+                    matched = (
+                        np.concatenate(
+                            [m[:, :maxdet] for _, m, _ in per_img], axis=1
+                        )
+                        if per_img
+                        else np.zeros((n_t, 0), bool)
+                    )
+                    ignored = (
+                        np.concatenate(
+                            [g[:, :maxdet] for _, _, g in per_img], axis=1
+                        )
+                        if per_img
+                        else np.zeros((n_t, 0), bool)
+                    )
+                    order = np.argsort(-scores, kind="stable")
+                    matched = matched[:, order]
+                    ignored = ignored[:, order]
+                    for ti in range(n_t):
+                        keep = ~ignored[ti]
+                        tp = np.cumsum(matched[ti][keep])
+                        fp = np.cumsum(~matched[ti][keep])
+                        rec = tp / n_gt
+                        recalls[ti, ci, ai, mi] = rec[-1] if len(rec) else 0.0
+                        if mi != len(MAX_DETS) - 1:
+                            continue  # AP uses the top tier only
+                        prec = tp / np.maximum(tp + fp, 1e-12)
+                        # monotone precision envelope
+                        for i in range(len(prec) - 1, 0, -1):
+                            prec[i - 1] = max(prec[i - 1], prec[i])
+                        idx = np.searchsorted(rec, REC_THRS, side="left")
+                        q = np.zeros(len(REC_THRS))
+                        valid = idx < len(prec)
+                        q[valid] = prec[idx[valid]]
+                        precisions[ti, :, ci, ai] = q
 
         self.eval_imgs = {"precision": precisions, "recall": recalls}
 
@@ -193,8 +210,8 @@ class CocoEvaluator:
             vals = vals[vals > -1]
             return float(vals.mean()) if vals.size else -1.0
 
-        def ar(area=0):
-            vals = r[:, :, area]
+        def ar(area=0, maxdet=len(MAX_DETS) - 1):
+            vals = r[:, :, area, maxdet]
             vals = vals[vals > -1]
             return float(vals.mean()) if vals.size else -1.0
 
@@ -203,7 +220,7 @@ class CocoEvaluator:
             ap(t_slice=slice(0, 1)),  # AP50
             ap(t_slice=slice(5, 6)),  # AP75
             ap(area=1), ap(area=2), ap(area=3),
-            ar(), ar(), ar(),  # AR maxDets variants share impl here
+            ar(maxdet=0), ar(maxdet=1), ar(maxdet=2),  # AR@1 / @10 / @100
             ar(area=1), ar(area=2), ar(area=3),
         ]
         names = [

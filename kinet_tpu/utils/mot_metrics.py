@@ -58,6 +58,12 @@ class MOTAccumulator:
         self.gt_frames = {}  # gt_id -> list[(frame, box_idx key)]
         self.frame_pairs = []  # (frame, gt_ids, hyp_ids, dist)
         self.frame_idx = 0
+        # track-quality bookkeeping (MT/PT/ML + fragmentations,
+        # motmetrics' track_ratios/num_fragmentations)
+        self._gt_seen = {}  # gt_id -> frames present
+        self._gt_matched = {}  # gt_id -> frames matched
+        self._gt_last_state = {}  # gt_id -> was matched at last appearance
+        self._fragmentations = 0
 
     def update(self, gt_ids, hyp_ids, dist):
         gt_ids = list(gt_ids)
@@ -101,6 +107,17 @@ class MOTAccumulator:
         for g, h in matches.items():
             self._last_match[g] = h
 
+        # MT/ML ratios + fragmentations: a fragmentation is a
+        # lost->re-tracked transition of a gt that had been tracked before
+        for g in gt_ids:
+            now = g in matches
+            self._gt_seen[g] = self._gt_seen.get(g, 0) + 1
+            if now:
+                self._gt_matched[g] = self._gt_matched.get(g, 0) + 1
+                if self._gt_last_state.get(g) is False and self._gt_matched[g] > 1:
+                    self._fragmentations += 1
+            self._gt_last_state[g] = now
+
         misses = len(gt_ids) - len(matches)
         fps = len(hyp_ids) - len(matches)
         self.events.append(
@@ -126,12 +143,25 @@ class MOTAccumulator:
         dist_sum = sum(e["dist_sum"] for e in self.events)
         mota = 1.0 - (misses + fps + switches) / max(num_gt, 1)
         motp = dist_sum / max(matches, 1)
+        mt = pt = ml = 0
+        for g, seen in self._gt_seen.items():
+            ratio = self._gt_matched.get(g, 0) / max(seen, 1)
+            if ratio >= 0.8:
+                mt += 1
+            elif ratio <= 0.2:
+                ml += 1
+            else:
+                pt += 1
         return {
             "num_objects": num_gt,
             "num_misses": misses,
             "num_false_positives": fps,
             "num_switches": switches,
             "num_matches": matches,
+            "num_fragmentations": self._fragmentations,
+            "mostly_tracked": mt,
+            "partially_tracked": pt,
+            "mostly_lost": ml,
             "mota": mota,
             "motp": motp,
             "recall": matches / max(num_gt, 1),

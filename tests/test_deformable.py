@@ -81,6 +81,65 @@ def test_deformable_two_stage():
     assert jnp.isfinite(criterion.total_loss(losses))
 
 
+def test_cache_prev_encoder_matches_recompute():
+    """Oracle for the encoded-memory cache (cache_prev_encoder): feeding
+    last frame's out["frame_memory"] as prev_memory must give exactly what
+    re-encoding the prev frame's features gives (the frame-agnostic encoder
+    makes the two paths compute the same values)."""
+    cfg = dcfg(
+        tracking=True,
+        multi_frame_attention=True,
+        multi_frame_encoding=True,
+        with_box_refine=True,
+        hidden_dim=36,
+        cache_prev_encoder=True,
+    )
+    model, _, _ = build_model(cfg)
+    t = 4
+    batch, targets = make_batch(jax.random.PRNGKey(0), hidden=36, t=t)
+    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    prev_batch, _ = make_batch(jax.random.PRNGKey(7), hidden=36, t=t)
+
+    # first frame: the prev:=cur alias path equals explicitly passing the
+    # current frame's own features as prev_features
+    out_first = model.apply(params, prev_batch, targets)
+    out_first_full = model.apply(
+        params, prev_batch, targets,
+        prev_features=out_first["frame_features"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_first["pred_boxes"]),
+        np.asarray(out_first_full["pred_boxes"]),
+        atol=1e-5,
+    )
+
+    # subsequent frame: cached memory vs full re-encode of prev features
+    out_cached = model.apply(
+        params, batch, targets, prev_memory=out_first["frame_memory"]
+    )
+    out_recomp = model.apply(
+        params, batch, targets, prev_features=out_first["frame_features"]
+    )
+    for k in ("pred_logits", "pred_boxes", "hs_embed"):
+        np.testing.assert_allclose(
+            np.asarray(out_cached[k]), np.asarray(out_recomp[k]),
+            atol=1e-5, err_msg=k,
+        )
+    # and the chained memory keeps matching one more frame out
+    out_cached2 = model.apply(
+        params, prev_batch, targets, prev_memory=out_cached["frame_memory"]
+    )
+    out_recomp2 = model.apply(
+        params, prev_batch, targets,
+        prev_features=out_recomp["frame_features"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cached2["pred_boxes"]),
+        np.asarray(out_recomp2["pred_boxes"]),
+        atol=1e-5,
+    )
+
+
 def test_deformable_multi_frame_track_queries():
     cfg = dcfg(
         tracking=True,

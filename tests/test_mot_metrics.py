@@ -78,3 +78,83 @@ def test_overall_summary_namespacing():
     assert summary["OVERALL"]["mota"] == 1.0
     assert summary["OVERALL"]["idf1"] == 1.0
     assert summary["OVERALL"]["num_objects"] == 6
+
+
+# ---------------------------------------------------------------------------
+# Adversarial motmetrics-semantics oracles
+# ---------------------------------------------------------------------------
+def _dist(gt_boxes, hyp_boxes):
+    from kinet_tpu.utils.mot_metrics import iou_distance
+
+    return iou_distance(np.asarray(gt_boxes, float), np.asarray(hyp_boxes, float))
+
+
+def test_match_continuity_preferred_over_closer_hypothesis():
+    """motmetrics keeps an existing (gt, hyp) correspondence while it stays
+    within the threshold, even if a CLOSER new hypothesis appears — no
+    switch, the closer hypothesis becomes an FP."""
+    from kinet_tpu.utils.mot_metrics import MOTAccumulator
+
+    acc = MOTAccumulator()
+    g = [[0, 0, 10, 10]]
+    a_near = [[1, 0, 10, 10]]  # IoU ~0.82 -> dist ~0.18
+    acc.update([1], ["A"], _dist(g, a_near))
+    # frame 1: A drifted (dist ~0.33, still within 0.5), B nearly perfect
+    a_far = [[2, 0, 10, 10]]
+    b_close = [[0.5, 0, 10, 10]]
+    acc.update([1], ["A", "B"], _dist(g, [a_far[0], b_close[0]]))
+    m = acc.metrics()
+    assert m["num_switches"] == 0, m
+    assert m["num_matches"] == 2
+    assert m["num_false_positives"] == 1  # B
+    assert m["num_misses"] == 0
+
+
+def test_switch_counted_across_gap():
+    """A gt that re-matches a DIFFERENT hyp after a gap still counts a
+    switch (last known match is remembered across frames)."""
+    from kinet_tpu.utils.mot_metrics import MOTAccumulator
+
+    acc = MOTAccumulator()
+    g = [[0, 0, 10, 10]]
+    acc.update([1], ["A"], _dist(g, g))
+    acc.update([1], [], _dist(g, []))  # miss
+    acc.update([1], ["B"], _dist(g, g))  # re-acquired by B
+    m = acc.metrics()
+    assert m["num_switches"] == 1, m
+    assert m["num_misses"] == 1
+
+
+def test_fragmentation_counting():
+    """tracked -> lost -> re-tracked = one fragmentation (even with the
+    SAME id, which is not a switch)."""
+    from kinet_tpu.utils.mot_metrics import MOTAccumulator
+
+    acc = MOTAccumulator()
+    g = [[0, 0, 10, 10]]
+    acc.update([1], ["A"], _dist(g, g))
+    acc.update([1], [], _dist(g, []))
+    acc.update([1], ["A"], _dist(g, g))
+    m = acc.metrics()
+    assert m["num_fragmentations"] == 1, m
+    assert m["num_switches"] == 0
+    # 2/3 tracked -> partially tracked
+    assert m["mostly_tracked"] == 0
+    assert m["partially_tracked"] == 1
+    assert m["mostly_lost"] == 0
+
+
+def test_mostly_tracked_and_lost():
+    from kinet_tpu.utils.mot_metrics import MOTAccumulator
+
+    acc = MOTAccumulator()
+    g1 = [0, 0, 10, 10]
+    g2 = [100, 100, 10, 10]
+    for _ in range(3):
+        # g1 always matched, g2 never
+        acc.update([1, 2], ["A"], _dist([g1, g2], [g1]))
+    m = acc.metrics()
+    assert m["mostly_tracked"] == 1
+    assert m["mostly_lost"] == 1
+    assert m["partially_tracked"] == 0
+    assert m["num_misses"] == 3

@@ -122,3 +122,222 @@ def test_pallas_hybrid_matches_oracle_interpret():
         lambda v: jnp.sum(ms_deform_attn_loop(v, shapes, jnp.asarray(loc), jnp.asarray(aw)))
     )(jnp.asarray(value))
     np.testing.assert_allclose(np.asarray(gv), np.asarray(gref), rtol=1e-4, atol=1e-5)
+
+
+def test_topk_matches_masked_full():
+    """ms_deform_attn_topk == full attention with non-top-k weights zeroed
+    (DEFA-style pruning oracle)."""
+    from kinet_tpu.ops.msda import ms_deform_attn_topk
+
+    value, loc, aw, shapes = _random_inputs(5)
+    l = len(shapes)
+    p = aw.shape[-1]
+    for k in (2, 3, l * p):
+        ours = np.asarray(
+            ms_deform_attn_topk(
+                jnp.asarray(value), shapes, jnp.asarray(loc),
+                jnp.asarray(aw), top_k=k,
+            )
+        )
+        aw_f = aw.reshape(*aw.shape[:3], l * p)
+        kth = np.sort(aw_f, axis=-1)[..., -k][..., None]
+        aw_masked = np.where(aw_f >= kth, aw_f, 0.0).reshape(aw.shape)
+        ref = np.asarray(
+            ms_deform_attn(
+                jnp.asarray(value), shapes, jnp.asarray(loc),
+                jnp.asarray(aw_masked),
+            )
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_topk_degenerate_levels():
+    from kinet_tpu.ops.msda import ms_deform_attn_topk
+
+    value, loc, aw, shapes = _random_inputs(6, shapes=((5, 7), (1, 1)))
+    full = np.asarray(
+        ms_deform_attn_topk(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw),
+            top_k=aw.shape[-1] * len(shapes),
+        )
+    )
+    ref = np.asarray(
+        ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw))
+    )
+    np.testing.assert_allclose(full, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_shared_locs_matches_broadcast():
+    """Head-shared sampling == per-head sampling with identical locations
+    broadcast over heads."""
+    from kinet_tpu.ops.msda import ms_deform_attn_patch_shared
+
+    value, loc, aw, shapes = _random_inputs(7)
+    b, lq, m, l, p, _ = loc.shape
+    loc_shared = loc[:, :, 0]  # [B, Lq, L, P, 2]
+    ours = np.asarray(
+        ms_deform_attn_patch_shared(
+            jnp.asarray(value), shapes, jnp.asarray(loc_shared), jnp.asarray(aw)
+        )
+    )
+    loc_bcast = np.broadcast_to(loc_shared[:, :, None], loc.shape).copy()
+    ref = np.asarray(
+        ms_deform_attn(
+            jnp.asarray(value), shapes, jnp.asarray(loc_bcast), jnp.asarray(aw)
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_shared_locs_degenerate_levels():
+    from kinet_tpu.ops.msda import ms_deform_attn_patch_shared
+
+    value, loc, aw, shapes = _random_inputs(8, shapes=((5, 7), (1, 1)))
+    loc_shared = loc[:, :, 0]
+    ours = np.asarray(
+        ms_deform_attn_patch_shared(
+            jnp.asarray(value), shapes, jnp.asarray(loc_shared), jnp.asarray(aw)
+        )
+    )
+    loc_bcast = np.broadcast_to(loc_shared[:, :, None], loc.shape).copy()
+    ref = np.asarray(
+        ms_deform_attn(
+            jnp.asarray(value), shapes, jnp.asarray(loc_bcast), jnp.asarray(aw)
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_quad_matches_grid_sample():
+    """Quad-table flat-row formulation (the fast exact path) vs the torch
+    grid_sample oracle."""
+    from kinet_tpu.ops.msda import ms_deform_attn_quad
+
+    for seed, shapes in ((9, ((6, 8), (3, 4))), (10, ((5, 7), (1, 1)))):
+        value, loc, aw, shapes = _random_inputs(seed, shapes=shapes)
+        ours = np.asarray(
+            ms_deform_attn_quad(
+                jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw)
+            )
+        )
+        ref = torch_core(
+            torch.from_numpy(value), shapes, torch.from_numpy(loc),
+            torch.from_numpy(aw),
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_quad_shared_matches_broadcast():
+    from kinet_tpu.ops.msda import ms_deform_attn_quad_shared
+
+    for seed, shapes in ((11, ((6, 8), (3, 4))), (12, ((5, 7), (1, 1)))):
+        value, loc, aw, shapes = _random_inputs(seed, shapes=shapes)
+        loc_shared = loc[:, :, 0]
+        ours = np.asarray(
+            ms_deform_attn_quad_shared(
+                jnp.asarray(value), shapes, jnp.asarray(loc_shared),
+                jnp.asarray(aw),
+            )
+        )
+        loc_bcast = np.broadcast_to(loc_shared[:, :, None], loc.shape).copy()
+        ref = torch_core(
+            torch.from_numpy(value), shapes, torch.from_numpy(loc_bcast),
+            torch.from_numpy(aw),
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_quad_gradients_match_patch():
+    """Same gradients as the patch formulation (both exact)."""
+    from kinet_tpu.ops.msda import ms_deform_attn_patch, ms_deform_attn_quad
+
+    value, loc, aw, shapes = _random_inputs(13)
+
+    def loss(fn, v, l_, a):
+        return jnp.sum(fn(jnp.asarray(v), shapes, l_, a) ** 2)
+
+    gv1, gl1, ga1 = jax.grad(
+        lambda v, l_, a: loss(ms_deform_attn_patch, v, l_, a), argnums=(0, 1, 2)
+    )(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw))
+    gv2, gl2, ga2 = jax.grad(
+        lambda v, l_, a: loss(ms_deform_attn_quad, v, l_, a), argnums=(0, 1, 2)
+    )(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw))
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl2), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2), rtol=1e-4, atol=1e-5)
+
+
+def test_quad_fold_matches_grid_sample():
+    from kinet_tpu.ops.msda import (
+        ms_deform_attn_quad_fold,
+        ms_deform_attn_quad_shared_fold,
+    )
+
+    for seed, shapes in ((14, ((6, 8), (3, 4))), (15, ((5, 7), (1, 1)))):
+        value, loc, aw, shapes = _random_inputs(seed, shapes=shapes)
+        ours = np.asarray(
+            ms_deform_attn_quad_fold(
+                jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw)
+            )
+        )
+        ref = torch_core(
+            torch.from_numpy(value), shapes, torch.from_numpy(loc),
+            torch.from_numpy(aw),
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+        loc_shared = loc[:, :, 0]
+        ours_sh = np.asarray(
+            ms_deform_attn_quad_shared_fold(
+                jnp.asarray(value), shapes, jnp.asarray(loc_shared),
+                jnp.asarray(aw),
+            )
+        )
+        loc_bcast = np.broadcast_to(loc_shared[:, :, None], loc.shape).copy()
+        ref_sh = torch_core(
+            torch.from_numpy(value), shapes, torch.from_numpy(loc_bcast),
+            torch.from_numpy(aw),
+        ).numpy()
+        np.testing.assert_allclose(ours_sh, ref_sh, rtol=1e-4, atol=1e-5)
+
+
+def test_quad_unroll_matches_grid_sample():
+    from kinet_tpu.ops.msda import ms_deform_attn_quad_unroll
+
+    for seed, shapes in ((16, ((6, 8), (3, 4))), (17, ((5, 7), (1, 1)))):
+        value, loc, aw, shapes = _random_inputs(seed, shapes=shapes)
+        ours = np.asarray(
+            ms_deform_attn_quad_unroll(
+                jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw)
+            )
+        )
+        ref = torch_core(
+            torch.from_numpy(value), shapes, torch.from_numpy(loc),
+            torch.from_numpy(aw),
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_topk_quad_matches_masked_full():
+    from kinet_tpu.ops.msda import ms_deform_attn_topk_quad
+
+    value, loc, aw, shapes = _random_inputs(18)
+    l = len(shapes)
+    p = aw.shape[-1]
+    for k in (2, l * p):
+        ours = np.asarray(
+            ms_deform_attn_topk_quad(
+                jnp.asarray(value), shapes, jnp.asarray(loc),
+                jnp.asarray(aw), top_k=k,
+            )
+        )
+        aw_f = aw.reshape(*aw.shape[:3], l * p)
+        kth = np.sort(aw_f, axis=-1)[..., -k][..., None]
+        aw_masked = np.where(aw_f >= kth, aw_f, 0.0).reshape(aw.shape)
+        ref = np.asarray(
+            ms_deform_attn(
+                jnp.asarray(value), shapes, jnp.asarray(loc),
+                jnp.asarray(aw_masked),
+            )
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

@@ -46,3 +46,42 @@ def test_detr_overfits_single_image():
     assert last < first * 0.55, (first, last)
     # box loss specifically must shrink (localization is learning)
     assert float(losses["loss_bbox"]) < 0.35, float(losses["loss_bbox"])
+
+
+def test_deformable_variants_overfit_single_image():
+    """Accuracy guard for the encoder-MSDA perf variants (cache_prev_encoder
+    + topk pruning + shared locations): a tiny Deformable DETR with all
+    variants enabled must still overfit one synthetic image."""
+    cfg = load_config("train.yaml", named=["train_deformable"]).replace(
+        dataset="mot", backbone="resnet_test", hidden_dim=32, nheads=2,
+        enc_layers=2, dec_layers=1, dim_feedforward=64, num_queries=8,
+        dropout=0.0, aux_loss=False, lr=1e-3, lr_backbone=1e-4,
+        clip_max_norm=0.1, weight_decay=0.0, num_feature_levels=4,
+        dec_n_points=2, enc_n_points=4, with_box_refine=False,
+        enc_msda_topk=4,  # prune half of the 2x4 samples
+    )
+    model, criterion, _ = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    batch = ImageBatch(
+        images=jax.random.normal(key, (1, 64, 64, 3)),
+        pad_mask=jnp.zeros((1, 64, 64), bool),
+    )
+    targets = Targets.create(
+        jnp.asarray([[[0.3, 0.3, 0.2, 0.2], [0.7, 0.6, 0.15, 0.25]]]),
+        jnp.zeros((1, 2), jnp.int32),
+        jnp.ones((1, 2), bool),
+        num_track_queries=0,
+        hidden_dim=32,
+    )
+    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    tx = build_optimizer(cfg, params, steps_per_epoch=10_000)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, criterion, tx, cfg)
+
+    first = last = None
+    for i in range(40):
+        state, losses = step(state, jax.random.PRNGKey(2), batch, targets)
+        if first is None:
+            first = float(losses["loss"])
+        last = float(losses["loss"])
+    assert last < first * 0.55, (first, last)

@@ -163,3 +163,54 @@ def test_full_kinet_track_session(synthetic_mot17, tmp_path):
         tmp_path / "kinet_results" / "MOT17-02-FRCNN" / "MOT17-02-FRCNN.txt"
     )
     assert res_file.exists()
+
+
+def test_full_kinet_dual_stream_track_session(synthetic_mot17, tmp_path):
+    """Dual-stream KineT (train_kinet.yaml -> KinematicDetectorTransformer,
+    reference detr.py:288-425) through the full track pipeline: ckpt+config
+    round-trip -> TrackerKinematic -> MOTChallenge result file + CLEAR-MOT."""
+    import jax
+    import jax.numpy as jnp
+
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.structs import KineBatch, Targets
+    from kinet_tpu.utils.checkpoint import CheckpointManager
+    from kinet_tpu.engine.track import main_track
+
+    l, enc = 3, 4
+    train_cfg = load_config("train.yaml", named=["train_kinet"]).replace(
+        dataset="mot_kine", hidden_dim=32, nheads=2, dim_feedforward=32,
+        num_queries=8, dropout=0.0, max_number_detection=8,
+        max_track_queries=8, track_prev_frame_range=l,
+        encoding_dim_tracklets=enc, tracking=True,
+    )
+    model, _, _ = build_model(train_cfg)
+    assert type(model).__name__ == "KinematicDetectorTransformer"
+    e_dim = l * 4 * enc + l * 1
+    kb = KineBatch(
+        detections=jnp.zeros((1, 8, 4)), metadata=jnp.zeros((1, 8, 1)),
+        pad_mask=jnp.zeros((1, 8), bool),
+    )
+    targets = Targets.create(
+        jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
+        jnp.zeros((1, 1), bool), num_track_queries=8, hidden_dim=e_dim,
+    )
+    params = model.init(jax.random.PRNGKey(0), kb, targets)
+
+    ckpt_dir = tmp_path / "kinet_dual_model"
+    save_config(train_cfg, ckpt_dir)
+    mgr = CheckpointManager(str(ckpt_dir))
+    mgr._save(mgr.dir / "checkpoint", {"params": params, "epoch": 0})
+
+    track_cfg = load_config("track_kinet.yaml").replace(
+        obj_detect_checkpoint_dir=str(ckpt_dir),
+        data_root_dir=synthetic_mot17,
+        dataset_name="MOT17-02-FRCNN",
+        output_dir=str(tmp_path / "kinet_dual_results"),
+    )
+    summary = main_track(track_cfg)
+    assert summary is not None
+    res_file = (
+        tmp_path / "kinet_dual_results" / "MOT17-02-FRCNN" / "MOT17-02-FRCNN.txt"
+    )
+    assert res_file.exists()
