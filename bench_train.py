@@ -1,11 +1,15 @@
 """Training-throughput benchmark: flagship (Deformable-DETR multi-frame
-tracking) train step/s at batch 2, 666px (the reference's training
+tracking) train step/s at batch 1, 666px (the reference's training
 max_size, cfgs/train.yaml:120-122), bf16 mixed precision on one chip.
 
 The reference logs per-iteration time in its train loop
-(util/misc.py:198-271); this is the TPU equivalent, measured with the same
-anti-distortion rules as bench.py: K steps chained inside ONE jit (the
-optimizer state threads the dependency), inputs varied per step via roll.
+(util/misc.py:198-271); this is the TPU equivalent. A lax.scan over the
+train step crashes the worker at this scale (the carried optimizer state
+doubles the peak), so K steps are dispatched sequentially with the state
+threaded through (each step depends on the last) and the measurement is
+closed by fetching a SCALAR computed from the final state — an actual
+value transfer cannot return early the way block_until_ready does through
+the axon tunnel.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is null: the reference commits no training-throughput number
@@ -20,7 +24,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-ITERS = 5
+ITERS = int(__import__("os").environ.get("BT_ITERS", "5"))
 
 
 def log(msg):
@@ -40,7 +44,9 @@ def main():
     ).replace(dataset="mot", compute_dtype="bfloat16", remat=True)
     model, criterion, _ = build_model(cfg)
 
-    b, h, w, n_obj = 2, 672, 1184, 20  # ≙ reference train max_size 666
+    b, h, w, n_obj = 1, 672, 1184, 20  # ≙ reference train max_size 666
+    # batch 2 exceeds single-v5e-chip HBM for the two-forward tracking step;
+    # the reference uses batch 2 x 7 GPUs (docs/TRAIN.md:119) — scale via DP
     t = int(cfg.max_track_queries)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -68,44 +74,37 @@ def main():
     state = TrainState.create(params, tx)
     step = make_train_step(model, criterion, tx, cfg)
 
-    @jax.jit
-    def run_steps(state, rng, batch, targets, prev_batch, prev_targets):
-        def one(carry, i):
-            st = carry
-            fb = batch.replace(images=jnp.roll(batch.images, i, axis=2))
-            pb = prev_batch.replace(
-                images=jnp.roll(prev_batch.images, i, axis=2)
-            )
-            st, losses = step(st, rng, fb, targets, pb, prev_targets)
-            return st, losses["loss"]
+    rng = jax.random.PRNGKey(7)
 
-        state, losses = jax.lax.scan(
-            one, state, jnp.arange(ITERS, dtype=jnp.int32)
+    def fetch(st):
+        # force completion via a real value transfer
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    t0 = time.perf_counter()
+    state, losses = step(
+        state, rng, batch, targets, prev_batch, prev_targets
+    )
+    first_loss = float(losses["loss"])
+    log(f"compile + first step: {time.perf_counter() - t0:.1f}s "
+        f"loss={first_loss:.3f}")
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, losses = step(
+            state, rng, batch, targets, prev_batch, prev_targets
         )
-        return losses
-
-    t0 = time.perf_counter()
-    losses = run_steps(
-        state, jax.random.PRNGKey(7), batch, targets, prev_batch, prev_targets
-    )
-    jax.block_until_ready(losses)
-    log(f"compile + first run: {time.perf_counter() - t0:.1f}s")
-    log(f"losses: {[round(float(x), 3) for x in losses]}")
-
-    t0 = time.perf_counter()
-    losses = run_steps(
-        state, jax.random.PRNGKey(7), batch, targets, prev_batch, prev_targets
-    )
-    jax.block_until_ready(losses)
+    fetch(state)
     dt = time.perf_counter() - t0
     sps = ITERS / dt
+    log(f"final loss: {float(losses['loss']):.3f}")
 
     print(
         json.dumps(
             {
                 "metric": "mot17_666px_flagship_train_step",
                 "value": round(sps, 4),
-                "unit": "steps/sec/chip (batch 2)",
+                "unit": "steps/sec/chip (batch 1)",
                 "vs_baseline": None,
             }
         )
@@ -124,7 +123,7 @@ if __name__ == "__main__":
                 {
                     "metric": "mot17_666px_flagship_train_step",
                     "value": 0.0,
-                    "unit": "steps/sec/chip (batch 2)",
+                    "unit": "steps/sec/chip (batch 1)",
                     "vs_baseline": None,
                 }
             )

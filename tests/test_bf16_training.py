@@ -25,7 +25,7 @@ def test_bf16_train_step():
         jnp.full((b, 3, 4), 0.5), jnp.zeros((b, 3), jnp.int32),
         jnp.ones((b, 3), bool), num_track_queries=0, hidden_dim=32,
     )
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
     tx = build_optimizer(cfg, params, steps_per_epoch=10)
     state = TrainState.create(params, tx)
     step = make_train_step(model, criterion, tx, cfg)

@@ -49,8 +49,8 @@ def test_deformable_forward_refine_and_loss():
     cfg = dcfg(with_box_refine=True)
     model, criterion, _ = build_model(cfg)
     batch, targets = make_batch(jax.random.PRNGKey(0))
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    out = model.apply(params, batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    out = jax.jit(model.apply)(params, batch, targets)
     assert out["pred_logits"].shape == (2, 12, 20)  # focal: no eos col
     assert out["pred_boxes"].shape == (2, 12, 4)
     assert (out["pred_boxes"] >= 0).all() and (out["pred_boxes"] <= 1).all()
@@ -61,7 +61,7 @@ def test_deformable_forward_refine_and_loss():
         o = model.apply(p, batch, targets)
         return criterion.total_loss(criterion(o, targets))
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     gnorm = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
     assert jnp.isfinite(gnorm) and gnorm > 0
 
@@ -70,8 +70,8 @@ def test_deformable_two_stage():
     cfg = dcfg(two_stage=True, with_box_refine=True)
     model, criterion, _ = build_model(cfg)
     batch, targets = make_batch(jax.random.PRNGKey(0), h=48, w=64)
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    out = model.apply(params, batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    out = jax.jit(model.apply)(params, batch, targets)
     assert "enc_outputs" in out
     enc = out["enc_outputs"]
     assert enc["pred_logits"].shape[1] == enc["pred_boxes"].shape[1]
@@ -97,15 +97,22 @@ def test_cache_prev_encoder_matches_recompute():
     model, _, _ = build_model(cfg)
     t = 4
     batch, targets = make_batch(jax.random.PRNGKey(0), hidden=36, t=t)
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
     prev_batch, _ = make_batch(jax.random.PRNGKey(7), hidden=36, t=t)
+
+    fwd = jax.jit(model.apply)
+    fwd_pf = jax.jit(
+        lambda p, b, tg, pf: model.apply(p, b, tg, prev_features=pf)
+    )
+    fwd_pm = jax.jit(
+        lambda p, b, tg, pm: model.apply(p, b, tg, prev_memory=pm)
+    )
 
     # first frame: the prev:=cur alias path equals explicitly passing the
     # current frame's own features as prev_features
-    out_first = model.apply(params, prev_batch, targets)
-    out_first_full = model.apply(
-        params, prev_batch, targets,
-        prev_features=out_first["frame_features"],
+    out_first = fwd(params, prev_batch, targets)
+    out_first_full = fwd_pf(
+        params, prev_batch, targets, out_first["frame_features"]
     )
     np.testing.assert_allclose(
         np.asarray(out_first["pred_boxes"]),
@@ -114,24 +121,19 @@ def test_cache_prev_encoder_matches_recompute():
     )
 
     # subsequent frame: cached memory vs full re-encode of prev features
-    out_cached = model.apply(
-        params, batch, targets, prev_memory=out_first["frame_memory"]
-    )
-    out_recomp = model.apply(
-        params, batch, targets, prev_features=out_first["frame_features"]
-    )
+    out_cached = fwd_pm(params, batch, targets, out_first["frame_memory"])
+    out_recomp = fwd_pf(params, batch, targets, out_first["frame_features"])
     for k in ("pred_logits", "pred_boxes", "hs_embed"):
         np.testing.assert_allclose(
             np.asarray(out_cached[k]), np.asarray(out_recomp[k]),
             atol=1e-5, err_msg=k,
         )
     # and the chained memory keeps matching one more frame out
-    out_cached2 = model.apply(
-        params, prev_batch, targets, prev_memory=out_cached["frame_memory"]
+    out_cached2 = fwd_pm(
+        params, prev_batch, targets, out_cached["frame_memory"]
     )
-    out_recomp2 = model.apply(
-        params, prev_batch, targets,
-        prev_features=out_recomp["frame_features"],
+    out_recomp2 = fwd_pf(
+        params, prev_batch, targets, out_recomp["frame_features"]
     )
     np.testing.assert_allclose(
         np.asarray(out_cached2["pred_boxes"]),
@@ -158,12 +160,12 @@ def test_deformable_multi_frame_track_queries():
         track_query_fp_mask=jnp.array([[False, True, False, False]] * 2),
         track_query_match_ids=jnp.array([[1, -1, -1, -1]] * 2, jnp.int32),
     )
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
     prev_batch, _ = make_batch(jax.random.PRNGKey(7), hidden=36, t=t)
-    prev_out = model.apply(params, prev_batch, None)
-    out = model.apply(
-        params, batch, targets, prev_features=prev_out["frame_features"]
-    )
+    prev_out = jax.jit(model.apply)(params, prev_batch, None)
+    out = jax.jit(
+        lambda p, b, tg, pf: model.apply(p, b, tg, prev_features=pf)
+    )(params, batch, targets, prev_out["frame_features"])
     assert out["pred_logits"].shape[1] == t + 12
     np.testing.assert_array_equal(
         np.asarray(out["query_valid"][:, :t]), [[True, True, False, False]] * 2

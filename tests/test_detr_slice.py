@@ -50,7 +50,7 @@ def test_detr_forward_and_loss_and_grad():
     cfg = tiny_cfg()
     model, criterion, post = build_model(cfg)
     batch, targets = make_batch(jax.random.PRNGKey(0))
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
 
     def loss_fn(p):
         out = model.apply(p, batch, targets)
@@ -73,8 +73,8 @@ def test_detr_outputs_shapes():
     cfg = tiny_cfg()
     model, _, post = build_model(cfg)
     batch, targets = make_batch(jax.random.PRNGKey(0))
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    out = model.apply(params, batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    out = jax.jit(model.apply)(params, batch, targets)
     assert out["pred_logits"].shape == (2, 12, 21)  # 20 classes + eos
     assert out["pred_boxes"].shape == (2, 12, 4)
     assert out["hs_embed"].shape == (2, 12, 32)
@@ -99,8 +99,8 @@ def test_track_query_slots_and_matcher_pinning():
         track_query_fp_mask=jnp.array([[False, True, False, False]] * 2),
         track_query_match_ids=jnp.array([[1, -1, -1, -1]] * 2, jnp.int32),
     )
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    out = model.apply(params, batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    out = jax.jit(model.apply)(params, batch, targets)
     # total queries = track slots + object queries
     assert out["pred_logits"].shape[1] == t + 12
     # inactive slots are marked invalid
@@ -124,8 +124,8 @@ def test_focal_loss_variant():
     cfg = tiny_cfg(focal_loss=True)
     model, criterion, _ = build_model(cfg)
     batch, targets = make_batch(jax.random.PRNGKey(0))
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    out = model.apply(params, batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    out = jax.jit(model.apply)(params, batch, targets)
     assert out["pred_logits"].shape == (2, 12, 20)  # no eos column
     losses = criterion(out, targets)
     assert jnp.isfinite(criterion.total_loss(losses))
@@ -142,8 +142,8 @@ def test_kinet_forward():
     pad = jnp.zeros((b, n), bool).at[:, 6:].set(True)
     kb = KineBatch(detections=dets, metadata=meta, pad_mask=pad)
     _, targets = make_batch(jax.random.PRNGKey(2))
-    params = model.init(jax.random.PRNGKey(3), kb, targets)
-    out = model.apply(params, kb, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), kb, targets)
+    out = jax.jit(model.apply)(params, kb, targets)
     assert out["pred_logits"].shape == (2, 12, 21)
     losses = criterion(out, targets)
     assert jnp.isfinite(criterion.total_loss(losses))

@@ -110,7 +110,7 @@ def test_kine2_training_slice():
         aug = add_kine_track_queries(
             rng, targets, trails, dets, meta, det_valid, trail_enc_dim=enc
         )
-        params = model.init(jax.random.PRNGKey(0), kb, aug)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), kb, aug)
 
         def loss_fn(p):
             out = model.apply(p, kb, aug)
@@ -146,8 +146,8 @@ def test_kine_dual_stream_forward_and_loss():
         jax.random.PRNGKey(0), targets, trails, dets, meta, det_valid,
         trail_enc_dim=enc,
     )
-    params = model.init(jax.random.PRNGKey(1), kb, aug)
-    out = model.apply(params, kb, aug)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), kb, aug)
+    out = jax.jit(model.apply)(params, kb, aug)
     # rows = track slots + object queries
     assert out["pred_logits"].shape[1] == 6 + 8
     losses = criterion(out, aug)
@@ -158,6 +158,6 @@ def test_kine_dual_stream_forward_and_loss():
         o = model.apply(p, kb, aug)
         return criterion.total_loss(criterion(o, aug))
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     gnorm = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
     assert jnp.isfinite(gnorm) and gnorm > 0

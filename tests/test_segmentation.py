@@ -35,8 +35,8 @@ def test_detr_segm_forward_and_loss():
     cfg = _cfg()
     model, criterion, _ = build_model(cfg)
     batch, targets = _batch(jax.random.PRNGKey(0))
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    out = model.apply(params, batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    out = jax.jit(model.apply)(params, batch, targets)
     assert "pred_masks" in out
     assert out["pred_masks"].shape[:2] == (1, 6)
     losses = criterion(out, targets)
@@ -49,8 +49,8 @@ def test_deformable_segm_forward():
                dec_n_points=2, enc_n_points=2)
     model, criterion, _ = build_model(cfg)
     batch, targets = _batch(jax.random.PRNGKey(0))
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    out = model.apply(params, batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    out = jax.jit(model.apply)(params, batch, targets)
     assert out["pred_masks"].shape[:2] == (1, 6)
     losses = criterion(out, targets)
     assert jnp.isfinite(criterion.total_loss(losses))

@@ -1,0 +1,158 @@
+"""Accuracy measurement path, end-to-end on synthetic data: train a tiny
+tracking model to overfit a synthetic moving-boxes sequence, run the full
+tracker over it, and score CLEAR-MOT/IDF1 — the stand-in for a real MOT17
+MOTA run while no real data is mountable (VERDICT r1 missing #2). Guards
+accuracy regressions from perf surgery: encoder caching, MSDA formulation
+changes etc. all sit in this loop.
+"""
+import configparser
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from kinet_tpu.config import load_config, save_config
+
+N_FRAMES, H, W = 8, 64, 96
+
+
+def _boxes_at(f):
+    """Two objects moving on deterministic paths; xywh pixel coords."""
+    return [
+        (6 + 4 * f, 10, 16, 20),   # moves right
+        (70 - 3 * f, 30, 14, 18),  # moves left
+    ]
+
+
+def _render(f):
+    img = np.zeros((H, W, 3), np.uint8)
+    img[...] = 20
+    for k, (x, y, w, h) in enumerate(_boxes_at(f)):
+        color = (255, 80, 80) if k == 0 else (80, 80, 255)
+        img[y : y + h, x : x + w] = color
+    return img
+
+
+@pytest.fixture(scope="module")
+def synthetic_seq(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mota_data")
+    seq = "MOT17-05-FRCNN"
+    seq_dir = root / "MOT17" / "train" / seq
+    for d in ("img1", "gt", "det"):
+        (seq_dir / d).mkdir(parents=True)
+    (root / "MOT17" / "test").mkdir(parents=True)
+    cfgp = configparser.ConfigParser()
+    cfgp["Sequence"] = {
+        "name": seq, "imDir": "img1", "frameRate": "30",
+        "seqLength": str(N_FRAMES), "imWidth": str(W), "imHeight": str(H),
+        "imExt": ".jpg",
+    }
+    with open(seq_dir / "seqinfo.ini", "w") as fh:
+        cfgp.write(fh)
+    gt_lines, det_lines = [], []
+    for f in range(N_FRAMES):
+        Image.fromarray(_render(f)).save(seq_dir / "img1" / f"{f + 1:06d}.jpg")
+        for tid, (x, y, w, h) in enumerate(_boxes_at(f), start=1):
+            gt_lines.append(f"{f + 1},{tid},{x},{y},{w},{h},1,1,1.0")
+            det_lines.append(f"{f + 1},-1,{x},{y},{w},{h},0.95,-1,-1")
+    (seq_dir / "gt" / "gt.txt").write_text("\n".join(gt_lines) + "\n")
+    (seq_dir / "det" / "det.txt").write_text("\n".join(det_lines) + "\n")
+    return str(root), seq
+
+
+def test_overfit_then_track_scores_mota(synthetic_seq, tmp_path):
+    from kinet_tpu.engine.state import TrainState, build_optimizer
+    from kinet_tpu.engine.train_step import make_train_step
+    from kinet_tpu.engine.track import main_track
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.structs import ImageBatch, Targets
+    from kinet_tpu.utils.checkpoint import CheckpointManager
+
+    root, seq = synthetic_seq
+    # deformable: the stride-8 pyramid level localizes on 64x96 synthetic
+    # frames (vanilla DETR's single stride-32 map is 2x3 cells here)
+    cfg = load_config(
+        "train.yaml", named=["train_deformable", "train_tracking"]
+    ).replace(
+        dataset="mot", backbone="resnet_test", hidden_dim=32, nheads=2,
+        enc_layers=1, dec_layers=2, dim_feedforward=64, num_queries=8,
+        max_track_queries=8, dropout=0.0, aux_loss=False,
+        num_feature_levels=4, dec_n_points=2, enc_n_points=2,
+        with_box_refine=False,
+        lr=2e-3, lr_backbone=2e-4, weight_decay=0.0, clip_max_norm=0.1,
+        track_query_false_negative_prob=0.4,
+        track_query_false_positive_prob=0.1,
+        **{"img_transform.max_size": 128, "img_transform.val_width": 64},
+    )
+    model, criterion, _ = build_model(cfg)
+
+    # training tensors straight from the synthetic sequence (pixel-space
+    # boxes -> normalized cxcywh), consecutive-frame pairs
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def frame_tensors(f):
+        img = _render(f).astype(np.float32) / 255.0
+        img = (img - mean) / std
+        boxes = []
+        for x, y, w, h in _boxes_at(f):
+            boxes.append(
+                [(x + w / 2) / W, (y + h / 2) / H, w / W, h / H]
+            )
+        batch = ImageBatch(
+            images=jnp.asarray(img)[None],
+            pad_mask=jnp.zeros((1, H, W), bool),
+        )
+        targets = Targets.create(
+            jnp.asarray(boxes, jnp.float32)[None],
+            jnp.zeros((1, 2), jnp.int32),
+            jnp.ones((1, 2), bool),
+            track_ids=jnp.asarray([[1, 2]], jnp.int32),
+            num_track_queries=8, hidden_dim=32,
+        )
+        return batch, targets
+
+    frames = [frame_tensors(f) for f in range(N_FRAMES)]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *frames[0])
+    tx = build_optimizer(cfg, params, steps_per_epoch=1000)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, criterion, tx, cfg)
+
+    rng = jax.random.PRNGKey(1)
+    last = None
+    for it in range(250):
+        f = 1 + (it % (N_FRAMES - 1))
+        batch, targets = frames[f]
+        pbatch, ptargets = frames[f - 1]
+        state, losses = step(
+            state, jax.random.fold_in(rng, it), batch, targets, pbatch, ptargets
+        )
+        last = float(losses["loss"])
+    assert np.isfinite(last)
+
+    ckpt_dir = tmp_path / "model"
+    save_config(cfg, ckpt_dir)
+    mgr = CheckpointManager(str(ckpt_dir))
+    mgr._save(mgr.dir / "checkpoint", {"params": state.params, "epoch": 0})
+
+    track_cfg = load_config("track.yaml").replace(
+        obj_detect_checkpoint_dir=str(ckpt_dir),
+        data_root_dir=root,
+        dataset_name=f"{seq}",
+        output_dir=str(tmp_path / "results"),
+        **{
+            "tracker_cfg.detection_obj_score_thresh": 0.5,
+            "tracker_cfg.track_obj_score_thresh": 0.5,
+            "tracker_cfg.detection_nms_thresh": 0.5,
+        },
+    )
+    summary = main_track(track_cfg)
+    assert summary is not None and seq in summary
+    m = summary[seq]
+    # overfit model on its own sequence: strong MOTA/IDF1 expected
+    assert m["mota"] > 0.5, m
+    assert m["idf1"] > 0.5, m
+    assert m["num_switches"] <= 1, m

@@ -43,7 +43,7 @@ def test_tracking_train_step_jit_and_grad():
     model, criterion, _ = build_model(cfg)
     batch, targets = _mk(jax.random.PRNGKey(0))
     prev_batch, prev_targets = _mk(jax.random.PRNGKey(1))
-    params = model.init(jax.random.PRNGKey(2), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), batch, targets)
 
     @jax.jit
     def step(params, rng):
@@ -92,7 +92,7 @@ def test_tracking_with_prev_prev():
     batch, targets = _mk(jax.random.PRNGKey(0))
     prev_batch, prev_targets = _mk(jax.random.PRNGKey(1))
     pp_batch, pp_targets = _mk(jax.random.PRNGKey(5))
-    params = model.init(jax.random.PRNGKey(2), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), batch, targets)
     out, aug_t = tracking_train_forward(
         model, params, jax.random.PRNGKey(3), batch, targets,
         prev_batch, prev_targets, criterion,
