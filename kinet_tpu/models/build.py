@@ -116,6 +116,8 @@ def build_model(cfg):
             cache_prev_encoder=bool(cfg.get("cache_prev_encoder", False)),
             enc_msda_shared_locs=bool(cfg.get("enc_msda_shared_locs", False)),
             enc_msda_topk=int(cfg.get("enc_msda_topk", 0)),
+            enc_msda_int8=bool(cfg.get("enc_msda_int8", False)),
+            enc_lite=bool(cfg.get("enc_lite", False)),
             masks=cfg.masks,
             remat=bool(cfg.get("remat", False)),
         )

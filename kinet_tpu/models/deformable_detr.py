@@ -61,6 +61,8 @@ class DeformableDETR(nn.Module):
     cache_prev_encoder: bool = False
     enc_msda_shared_locs: bool = False  # encoder MSDA: head-shared locations
     enc_msda_topk: int = 0  # encoder MSDA: DEFA-style top-k pruning
+    enc_msda_int8: bool = False  # encoder MSDA: int8 values at inference
+    enc_lite: bool = False  # Lite-DETR interleaved high-level update
     num_track_slots: int = 0
     focal_loss: bool = True
     masks: bool = False
@@ -130,6 +132,8 @@ class DeformableDETR(nn.Module):
             frame_agnostic_levels=self.cache_prev_encoder,
             enc_shared_locs=self.enc_msda_shared_locs,
             enc_topk=self.enc_msda_topk,
+            enc_int8=self.enc_msda_int8,
+            enc_lite=self.enc_lite,
             remat=self.remat,
         )
         if self.cache_prev_encoder:

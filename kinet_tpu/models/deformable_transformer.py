@@ -65,6 +65,11 @@ class MSDeformAttn(nn.Module):
     # the top_k of L*P samples per (query, head) by attention weight.
     shared_locs: bool = False
     top_k: int = 0
+    # int8 value tables at INFERENCE (deterministic=True): halves the
+    # gather bytes and table size (both measured speed levers,
+    # scripts/gather_bw_probe.py); per-(batch, head) absmax scales fold
+    # into the corner weights. Training always runs the exact bf16 path.
+    int8_values: bool = False
 
     @nn.compact
     def __call__(
@@ -75,6 +80,7 @@ class MSDeformAttn(nn.Module):
         spatial_shapes: Sequence[Tuple[int, int]],
         src_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True=pad
         query_mask: Optional[jnp.ndarray] = None,  # [B, Lq] True=masked
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         b, lq, _ = query.shape
         m, l, p = self.n_heads, self.n_levels, self.n_points
@@ -138,6 +144,21 @@ class MSDeformAttn(nn.Module):
                 attn.astype(jnp.float32),
                 top_k=self.top_k,
             )
+        elif self.int8_values and deterministic:
+            absmax = jnp.max(
+                jnp.abs(value.astype(jnp.float32)), axis=(1, 3), keepdims=True
+            )  # [B, 1, M, 1]
+            scale = jnp.maximum(absmax / 127.0, 1e-8)
+            q8 = jnp.clip(
+                jnp.round(value.astype(jnp.float32) / scale), -127, 127
+            ).astype(jnp.int8)
+            out = ms_deform_attn(
+                q8,
+                tuple(spatial_shapes),
+                loc.astype(jnp.float32),
+                attn.astype(jnp.float32),
+                value_scale=scale[:, 0, :, 0].astype(value.dtype),
+            )
         else:
             out = ms_deform_attn(
                 value,
@@ -167,18 +188,27 @@ class DeformableEncoderLayer(nn.Module):
     n_points: int
     shared_locs: bool = False
     top_k: int = 0
+    int8_values: bool = False
 
     @nn.compact
     def __call__(
         self, src, pos, reference_points, spatial_shapes,
-        padding_mask=None, deterministic=True,
+        padding_mask=None, deterministic=True, src_value=None,
     ):
+        # src_value: value sequence when the queries are a subset of the
+        # tokens (Lite-DETR interleaved update); defaults to src
         q = src + pos if pos is not None else src
         src2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             shared_locs=self.shared_locs, top_k=self.top_k,
+            int8_values=self.int8_values,
             name="self_attn",
-        )(q, reference_points, src, spatial_shapes, padding_mask)
+        )(
+            q, reference_points,
+            src if src_value is None else src_value,
+            spatial_shapes, padding_mask,
+            deterministic=deterministic,
+        )
         src = nn.LayerNorm()(
             src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
         )
@@ -217,6 +247,13 @@ class DeformableEncoder(nn.Module):
     n_points: int
     shared_locs: bool = False
     top_k: int = 0
+    int8_values: bool = False
+    # Lite-DETR-style interleaved update (arxiv 2303.07335): all layers but
+    # the LAST update only the high-level tokens (levels 1..L-1, ~25% of
+    # the sequence at flagship scale) as QUERIES — level-0 tokens still
+    # serve as values — so per-layer MSDA rows, FFN and einsum work scale
+    # by the high-level fraction; the final layer updates every token.
+    lite: bool = False
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM during
     # training — the encoder activations at 800px are the memory peak)
 
@@ -231,14 +268,29 @@ class DeformableEncoder(nn.Module):
             layer_cls = nn.remat(
                 DeformableEncoderLayer, static_argnums=(4, 6)
             )
+        split0 = spatial_shapes[0][0] * spatial_shapes[0][1]
         out = src
         for i in range(self.num_layers):
-            out = layer_cls(
+            layer = layer_cls(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
                 self.n_levels, self.n_heads, self.n_points,
                 shared_locs=self.shared_locs, top_k=self.top_k,
+                int8_values=self.int8_values,
                 name=f"layer{i}",
-            )(out, pos, ref, spatial_shapes, padding_mask, deterministic)
+            )
+            if self.lite and i < self.num_layers - 1 and len(spatial_shapes) > 1:
+                high = layer(
+                    out[:, split0:],
+                    pos[:, split0:] if pos is not None else None,
+                    ref[:, split0:], spatial_shapes, padding_mask,
+                    deterministic,
+                    out,  # src_value: full token sequence as values
+                )
+                out = jnp.concatenate([out[:, :split0], high], axis=1)
+            else:
+                out = layer(
+                    out, pos, ref, spatial_shapes, padding_mask, deterministic
+                )
         return out
 
 
@@ -386,6 +438,8 @@ class DeformableTransformer(nn.Module):
     frame_agnostic_levels: bool = False
     enc_shared_locs: bool = False  # encoder MSDA: head-shared locations
     enc_topk: int = 0  # encoder MSDA: DEFA-style top-k sample pruning
+    enc_int8: bool = False  # encoder MSDA: int8 value tables at inference
+    enc_lite: bool = False  # Lite-DETR interleaved high-level update
     remat: bool = False
 
     def setup(self):
@@ -396,7 +450,8 @@ class DeformableTransformer(nn.Module):
             self.num_encoder_layers, self.d_model, self.dim_feedforward,
             self.dropout, self.activation, enc_levels, self.nheads,
             self.enc_n_points, shared_locs=self.enc_shared_locs,
-            top_k=self.enc_topk, remat=self.remat,
+            top_k=self.enc_topk, int8_values=self.enc_int8,
+            lite=self.enc_lite, remat=self.remat,
         )
         self.decoder = DeformableDecoder(
             self.num_decoder_layers, self.d_model, self.dim_feedforward,

@@ -412,6 +412,10 @@ def ms_deform_attn_quad_unroll(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    value_scale: jnp.ndarray | None = None,  # [B, M] per-head dequant scale
+    # (value may then be int8: halves gather bytes AND table size — both
+    # measured gather-speed levers; the scale folds into the corner
+    # weights per head, so dequantization is free)
 ) -> jnp.ndarray:
     """THE production formulation: quad-table rows + per-head UNROLLED flat
     gathers. Exact semantics (oracle: tests/test_msda.py).
@@ -428,7 +432,9 @@ def ms_deform_attn_quad_unroll(
     b, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
     starts = level_start_index(spatial_shapes)
-    compute_dtype = value.dtype
+    compute_dtype = (
+        value.dtype if value_scale is None else value_scale.dtype
+    )
     value_t = value.transpose(0, 2, 1, 3)  # [B, M, S, D]
     vq = _quad_all_levels(value_t, spatial_shapes, starts)  # [B, M, S, 4D]
 
@@ -447,8 +453,11 @@ def ms_deform_attn_quad_unroll(
         g = jax.lax.gather(
             tbl, rows, _FLAT_DNUMS, slice_sizes=(1, 4 * d), mode="clip"
         ).reshape(b, lq, l * p, 4, d)
+        w_h = w4[hm].astype(compute_dtype)
+        if value_scale is not None:
+            w_h = w_h * value_scale[:, hm].reshape(b, 1, 1, 1)
         outs.append(
-            jnp.einsum("bqkc,bqkcd->bqd", w4[hm].astype(compute_dtype), g)
+            jnp.einsum("bqkc,bqkcd->bqd", w_h, g.astype(compute_dtype))
         )
     out = jnp.stack(outs, axis=2)  # [B, Lq, M, D]
     return out.reshape(b, lq, m * d).astype(jnp.float32)

@@ -341,3 +341,28 @@ def test_topk_quad_matches_masked_full():
             )
         )
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_int8_value_tables_close_to_exact():
+    """int8-quantized value tables (inference fast path): within
+    quantization tolerance of the exact op."""
+    from kinet_tpu.ops.msda import ms_deform_attn_quad_unroll
+
+    value, loc, aw, shapes = _random_inputs(19)
+    exact = np.asarray(
+        ms_deform_attn_quad_unroll(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw)
+        )
+    )
+    absmax = np.abs(value).max(axis=(1, 3), keepdims=True)
+    scale = np.maximum(absmax / 127.0, 1e-8)
+    q8 = np.clip(np.round(value / scale), -127, 127).astype(np.int8)
+    quant = np.asarray(
+        ms_deform_attn_quad_unroll(
+            jnp.asarray(q8), shapes, jnp.asarray(loc), jnp.asarray(aw),
+            value_scale=jnp.asarray(scale[:, 0, :, 0], jnp.float32),
+        )
+    )
+    err = np.abs(quant - exact).max()
+    tol = 2.5 * scale.max()  # a few quantization steps after interpolation
+    assert err < tol, (err, tol)

@@ -59,6 +59,7 @@ def test_deformable_variants_overfit_single_image():
         clip_max_norm=0.1, weight_decay=0.0, num_feature_levels=4,
         dec_n_points=2, enc_n_points=4, with_box_refine=False,
         enc_msda_topk=4,  # prune half of the 2x4 samples
+        enc_lite=True,  # Lite-DETR interleaved high-level update
     )
     model, criterion, _ = build_model(cfg)
     key = jax.random.PRNGKey(0)
