@@ -44,9 +44,11 @@ def main():
     ).replace(dataset="mot", compute_dtype="bfloat16", remat=True)
     model, criterion, _ = build_model(cfg)
 
-    b, h, w, n_obj = 1, 672, 1184, 20  # ≙ reference train max_size 666
-    # batch 2 exceeds single-v5e-chip HBM for the two-forward tracking step;
-    # the reference uses batch 2 x 7 GPUs (docs/TRAIN.md:119) — scale via DP
+    # batch 1 default: batch 2 fits since the custom-VJP MSDA backward but
+    # runs memory-pressured (~5x slower/step on one v5e chip); the reference
+    # uses batch 2 x 7 GPUs (docs/TRAIN.md:119) — scale via DP instead
+    b = int(__import__("os").environ.get("BT_BATCH", "1"))
+    h, w, n_obj = 672, 1184, 20  # ≙ reference train max_size 666
     t = int(cfg.max_track_queries)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -104,7 +106,7 @@ def main():
             {
                 "metric": "mot17_666px_flagship_train_step",
                 "value": round(sps, 4),
-                "unit": "steps/sec/chip (batch 1)",
+                "unit": f"steps/sec/chip (batch {b})",
                 "vs_baseline": None,
             }
         )

@@ -383,6 +383,37 @@ _FLAT_DNUMS = jax.lax.GatherDimensionNumbers(
 )
 
 
+@jax.custom_vjp
+def _rows_gather(tbl, rows):
+    """tbl [N, C], rows [R] int32 -> [R, C] flat row gather.
+
+    Custom VJP: XLA autodiff's transpose of this gather emits a scatter
+    variant that runs ~40x slower than a plain `.at[rows].add` scatter-add
+    on TPU (measured: quad_unroll fwd 60 ms but autodiff fwd+bwd 2.5 s at
+    flagship scale vs ~20 ms for the equivalent scatter in
+    scripts/scatter_bw_probe.py). The hand-written backward uses the fast
+    form; semantics identical (clip mode on indices).
+    """
+    return jax.lax.gather(
+        tbl, rows[:, None], _FLAT_DNUMS,
+        slice_sizes=(1, tbl.shape[1]), mode="clip",
+    ).reshape(rows.shape[0], tbl.shape[1])
+
+
+def _rows_gather_fwd(tbl, rows):
+    return _rows_gather(tbl, rows), (rows, tbl.shape[0])
+
+
+def _rows_gather_bwd(res, dg):
+    rows, n = res
+    rows_c = jnp.clip(rows, 0, n - 1)  # match the forward's clip mode
+    dtbl = jnp.zeros((n, dg.shape[1]), dg.dtype).at[rows_c].add(dg)
+    return dtbl, None
+
+
+_rows_gather.defvjp(_rows_gather_fwd, _rows_gather_bwd)
+
+
 def _flat_cell_index(sampling_locations, spatial_shapes, starts):
     """Per-sample flat cell index + folded 4-corner weights.
 
@@ -449,10 +480,8 @@ def ms_deform_attn_quad_unroll(
     outs = []
     for hm in range(m):
         tbl = vq[:, hm].reshape(b * s, 4 * d)
-        rows = (idx[hm] + bofs).reshape(b * lq * l * p, 1)
-        g = jax.lax.gather(
-            tbl, rows, _FLAT_DNUMS, slice_sizes=(1, 4 * d), mode="clip"
-        ).reshape(b, lq, l * p, 4, d)
+        rows = (idx[hm] + bofs).reshape(b * lq * l * p)
+        g = _rows_gather(tbl, rows).reshape(b, lq, l * p, 4, d)
         w_h = w4[hm].astype(compute_dtype)
         if value_scale is not None:
             w_h = w_h * value_scale[:, hm].reshape(b, 1, 1, 1)
@@ -498,10 +527,8 @@ def ms_deform_attn_topk_quad(
     outs = []
     for hm in range(m):
         tbl = vq[:, hm].reshape(b * s, 4 * d)
-        rows = (idx_k[hm] + bofs).reshape(b * lq * k, 1)
-        g = jax.lax.gather(
-            tbl, rows, _FLAT_DNUMS, slice_sizes=(1, 4 * d), mode="clip"
-        ).reshape(b, lq, k, 4, d)
+        rows = (idx_k[hm] + bofs).reshape(b * lq * k)
+        g = _rows_gather(tbl, rows).reshape(b, lq, k, 4, d)
         outs.append(
             jnp.einsum("bqkc,bqkcd->bqd", w4_k[hm].astype(compute_dtype), g)
         )
