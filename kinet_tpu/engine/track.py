@@ -87,7 +87,11 @@ def main_track(cfg, obj_detector_model=None):
             num_object_queries=int(train_cfg.num_queries),
             num_track_slots=int(train_cfg.get("max_track_queries", 100)),
             trail_len=trail_len,
-            trail_enc_dim=int(train_cfg.encoding_dim_tracklets),
+            trail_enc_dim=(
+                int(train_cfg.encoding_dim_tracklets)
+                if train_cfg.get("use_encoding_tracklets", False)
+                else 0
+            ),
             meta_dim=2 if train_cfg.use_class else 1,
             overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
         )

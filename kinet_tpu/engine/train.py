@@ -104,9 +104,12 @@ def train(cfg):
             metadata=jnp.asarray(first["metadata"]),
             pad_mask=jnp.asarray(first["det_pad_mask"]),
         )
-        tdim, mdim = kine_track_embed_dims(
-            trail_len, int(cfg.encoding_dim_tracklets), meta_dim
+        enc0 = (
+            int(cfg.encoding_dim_tracklets)
+            if cfg.get("use_encoding_tracklets", False)
+            else 0
         )
+        tdim, mdim = kine_track_embed_dims(trail_len, enc0, meta_dim)
         targets0 = Targets.create(
             jnp.asarray(first["boxes"]), jnp.asarray(first["labels"]),
             jnp.asarray(first["valid"]), jnp.asarray(first["track_ids"]),

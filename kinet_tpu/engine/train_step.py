@@ -102,7 +102,13 @@ def make_kine_train_step(model, criterion, tx, cfg):
     from ..structs import KineBatch, Targets
     from ..tracking.kine_augment import add_kine_track_queries
 
-    trail_enc = int(cfg.encoding_dim_tracklets)
+    # trail_enc == 0 -> raw trails (use_encoding_tracklets=False, the
+    # reference's default)
+    trail_enc = (
+        int(cfg.encoding_dim_tracklets)
+        if cfg.get("use_encoding_tracklets", False)
+        else 0
+    )
     ratio = float(cfg.get("ratio_add_tracklets", 1.0))
 
     def loss_fn(params, rng, kb, targets, trails, dropout_rng):
@@ -127,8 +133,9 @@ def make_kine_train_step(model, criterion, tx, cfg):
             pad_mask=batch_dict["det_pad_mask"],
         )
         t = int(cfg.max_track_queries)
+        per_frame = 4 * trail_enc if trail_enc else 4
         e_dim = (
-            int(cfg.track_prev_frame_range) * 4 * trail_enc
+            int(cfg.track_prev_frame_range) * per_frame
             + int(cfg.track_prev_frame_range)
             * (2 if cfg.use_class else 1)
         )

@@ -88,12 +88,19 @@ def build_model(cfg):
             # reference.
             trail_len = max(int(cfg.track_prev_frame_range), 1)
             meta_dim = 2 if cfg.use_class else 1
+            # use_encoding_tracklets=False (the reference's default,
+            # models/__init__.py:83-90): RAW 4-number trails per frame
+            enc = (
+                int(cfg.encoding_dim_tracklets)
+                if cfg.get("use_encoding_tracklets", False)
+                else 0
+            )
             model = KinematicDetectorTransformer(
                 **common,
                 dec_layers=cfg.dec_layers,
                 aux_loss=cfg.aux_loss,
                 max_detections=cfg.max_number_detection,
-                trail_enc_dim=trail_len * 4 * cfg.encoding_dim_tracklets,
+                trail_enc_dim=trail_len * (4 * enc if enc else 4),
                 meta_hist_dim=trail_len * meta_dim,
             )
     elif cfg.get("deformable", False):

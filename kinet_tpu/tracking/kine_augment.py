@@ -121,10 +121,14 @@ def add_kine_track_queries(
         keys, trails, meta_hist, targets.valid, n_targets
     )
 
-    # 4. encode + pack
-    trail_enc = sine_encode_trail(
-        trail_s.reshape(b, t, l * 4), trail_enc_dim
-    )  # [B, T, L*4*enc]
+    # 4. encode + pack. trail_enc_dim == 0 -> RAW trails (the reference's
+    # use_encoding_tracklets=False default, models/__init__.py:83-90)
+    if trail_enc_dim:
+        trail_enc = sine_encode_trail(
+            trail_s.reshape(b, t, l * 4), trail_enc_dim
+        )  # [B, T, L*4*enc]
+    else:
+        trail_enc = trail_s.reshape(b, t, l * 4)
     embeds = jnp.concatenate(
         [trail_enc, meta_s.reshape(b, t, l * m)], axis=-1
     ).astype(jnp.float32)
@@ -140,5 +144,6 @@ def add_kine_track_queries(
 
 def kine_track_embed_dims(trail_len: int, trail_enc_dim: int, meta_dim: int):
     """(trail feature width, metadata history width) for the model's
-    track_proj split."""
-    return trail_len * 4 * trail_enc_dim, trail_len * meta_dim
+    track_proj split. trail_enc_dim == 0 -> raw trails (4 per frame)."""
+    per_frame = 4 * trail_enc_dim if trail_enc_dim else 4
+    return trail_len * per_frame, trail_len * meta_dim

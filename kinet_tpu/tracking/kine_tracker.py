@@ -90,7 +90,8 @@ class TrackerKinematic(Tracker):
         super().__init__(
             model, params, postprocess, tracker_cfg,
             num_object_queries, num_track_slots,
-            hidden_dim=trail_len * 4 * trail_enc_dim + trail_len * meta_dim,
+            hidden_dim=trail_len * (4 * trail_enc_dim if trail_enc_dim
+                                    else 4) + trail_len * meta_dim,
             overflow_boxes=overflow_boxes, logger=logger,
         )
         self.trail_len = trail_len
@@ -120,12 +121,13 @@ class TrackerKinematic(Tracker):
         if n:
             trails = np.stack([t.get_trail(self.trail_len)[0] for t in tracks[:n]])
             metas = np.stack([t.get_trail(self.trail_len)[1] for t in tracks[:n]])
-            enc = np.asarray(
-                sine_encode_trail(
-                    jnp.asarray(trails.reshape(n, self.trail_len * 4)),
-                    self.trail_enc_dim,
+            flat = trails.reshape(n, self.trail_len * 4)
+            if self.trail_enc_dim:
+                enc = np.asarray(
+                    sine_encode_trail(jnp.asarray(flat), self.trail_enc_dim)
                 )
-            )
+            else:  # raw trails (use_encoding_tracklets=False default)
+                enc = flat.astype(np.float32)
             embeds[0, :n] = np.concatenate(
                 [enc, metas[:, :, : self.meta_dim].reshape(n, -1)], axis=-1
             )

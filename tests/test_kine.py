@@ -96,7 +96,7 @@ def test_kine2_training_slice():
     cfg = load_config("train.yaml", named=["train_kinet2"]).replace(
         dataset="mot_kine", hidden_dim=32, nheads=2, dim_feedforward=32,
         dropout=0.0, max_number_detection=6, max_track_queries=6,
-        track_prev_frame_range=l, encoding_dim_tracklets=enc,
+        track_prev_frame_range=l, encoding_dim_tracklets=enc, use_encoding_tracklets=True,
         tracking=True, aux_loss=False,
     )
     model, criterion, _ = build_model(cfg)
@@ -134,7 +134,7 @@ def test_kine_dual_stream_forward_and_loss():
         dataset="mot_kine", used_ordered_queries=True, use_encoder_only=False,
         hidden_dim=32, nheads=2, dim_feedforward=32, num_queries=8,
         dropout=0.0, max_number_detection=6, max_track_queries=6,
-        track_prev_frame_range=l, encoding_dim_tracklets=enc,
+        track_prev_frame_range=l, encoding_dim_tracklets=enc, use_encoding_tracklets=True,
         tracking=True, aux_loss=False,
     )
     model, criterion, _ = build_model(cfg)
@@ -161,3 +161,38 @@ def test_kine_dual_stream_forward_and_loss():
     g = jax.jit(jax.grad(loss_fn))(params)
     gnorm = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
     assert jnp.isfinite(gnorm) and gnorm > 0
+
+
+def test_kine_raw_trails_default_path():
+    """use_encoding_tracklets=False (the reference's default,
+    cfgs/train_kinet.yaml): RAW 4-number-per-frame trails flow through the
+    augmentation, the dual-stream model and the criterion."""
+    l = 3
+    cfg = load_config("train.yaml", named=["train_kinet"]).replace(
+        dataset="mot_kine", hidden_dim=32, nheads=2, dim_feedforward=32,
+        num_queries=8, dropout=0.0, max_number_detection=6,
+        max_track_queries=6, track_prev_frame_range=l, tracking=True,
+        aux_loss=False,
+    )
+    assert not cfg.use_encoding_tracklets
+    model, criterion, _ = build_model(cfg)
+    assert type(model).__name__ == "KinematicDetectorTransformer"
+    assert model.trail_enc_dim == l * 4  # raw width
+
+    targets, trails, dets, meta, det_valid = _kine_setup(l=l, enc=4)
+    e_dim = l * 4 + l * 1
+    targets = targets.replace(
+        track_query_embeds=jnp.zeros(
+            (targets.boxes.shape[0], 6, e_dim), jnp.float32
+        )
+    )
+    kb = KineBatch(detections=dets, metadata=meta, pad_mask=~det_valid)
+    aug = add_kine_track_queries(
+        jax.random.PRNGKey(0), targets, trails, dets, meta, det_valid,
+        trail_enc_dim=0,  # raw
+    )
+    assert aug.track_query_embeds.shape[-1] == e_dim
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), kb, aug)
+    out = jax.jit(model.apply)(params, kb, aug)
+    losses = criterion(out, aug)
+    assert jnp.isfinite(criterion.total_loss(losses))

@@ -139,7 +139,7 @@ def test_kine_tracker_real_dual_stream_model():
         dataset="mot_kine", hidden_dim=32, nheads=2, dim_feedforward=32,
         num_queries=8, dropout=0.0, max_number_detection=8,
         max_track_queries=6, track_prev_frame_range=l,
-        encoding_dim_tracklets=enc, tracking=True,
+        encoding_dim_tracklets=enc, use_encoding_tracklets=True, tracking=True,
     )
     model, _, _ = build_model(cfg)
     assert type(model).__name__ == "KinematicDetectorTransformer"

@@ -132,7 +132,7 @@ def test_full_kinet_track_session(synthetic_mot17, tmp_path):
     train_cfg = load_config("train.yaml", named=["train_kinet2"]).replace(
         dataset="mot_kine", hidden_dim=32, nheads=2, dim_feedforward=32,
         dropout=0.0, max_number_detection=8, max_track_queries=8,
-        track_prev_frame_range=l, encoding_dim_tracklets=enc, tracking=True,
+        track_prev_frame_range=l, encoding_dim_tracklets=enc, use_encoding_tracklets=True, tracking=True,
     )
     model, _, _ = build_model(train_cfg)
     e_dim = l * 4 * enc + l * 1
@@ -182,7 +182,7 @@ def test_full_kinet_dual_stream_track_session(synthetic_mot17, tmp_path):
         dataset="mot_kine", hidden_dim=32, nheads=2, dim_feedforward=32,
         num_queries=8, dropout=0.0, max_number_detection=8,
         max_track_queries=8, track_prev_frame_range=l,
-        encoding_dim_tracklets=enc, tracking=True,
+        encoding_dim_tracklets=enc, use_encoding_tracklets=True, tracking=True,
     )
     model, _, _ = build_model(train_cfg)
     assert type(model).__name__ == "KinematicDetectorTransformer"

@@ -107,7 +107,7 @@ def test_kine_train_session(synthetic_mot_coco, tmp_path):
         mot_path_val=synthetic_mot_coco,
         hidden_dim=32, nheads=2, dim_feedforward=32,
         max_objects=6, max_number_detection=8, max_track_queries=6,
-        track_prev_frame_range=2, encoding_dim_tracklets=4,
+        track_prev_frame_range=2, encoding_dim_tracklets=4, use_encoding_tracklets=True,
         dropout=0.0, batch_size=2, epochs=1, num_workers=1, debug=True,
         val_interval=0, tracking=True, tracking_eval=False,
         output_dir=str(tmp_path / "kine_out"),
