@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..ops.msda import (
     ms_deform_attn_patch_shared,
     ms_deform_attn_quad_unroll as ms_deform_attn,
+    ms_deform_attn_raw_pool,
     ms_deform_attn_topk_quad,
 )
 
@@ -47,6 +48,32 @@ def _offset_grid_init(n_heads, n_levels, n_points):
     grid = jnp.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
     scale = jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, None, :, None]
     return (grid * scale).reshape(-1)
+
+
+class _ValueProjAfterPool(nn.Module):
+    """Value projection applied AFTER raw-row pooling (gather-then-project;
+    exact by linearity — see ops.msda.ms_deform_attn_raw_pool). Param names
+    (kernel, bias) and init match nn.Dense so the tree is interchangeable
+    with the project-then-gather path."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, pooled, wsum):
+        # pooled [B, Lq, M, C], wsum [B, Lq, M]
+        c, m = pooled.shape[-1], pooled.shape[2]
+        dh = self.d_model // m
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (c, self.d_model)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.d_model,))
+        k = kernel.astype(pooled.dtype).reshape(c, m, dh)
+        out = jnp.einsum("bqmc,cmd->bqmd", pooled, k)
+        # each gathered value row carried the projection bias, weighted by
+        # its (bilinear x attention) weight — restore it via the weight sum
+        out = out + (wsum[..., None] * bias.reshape(m, dh)).astype(out.dtype)
+        b, lq = out.shape[:2]
+        return out.reshape(b, lq, self.d_model)
 
 
 class MSDeformAttn(nn.Module):
@@ -70,6 +97,12 @@ class MSDeformAttn(nn.Module):
     # scripts/gather_bw_probe.py); per-(batch, head) absmax scales fold
     # into the corner weights. Training always runs the exact bf16 path.
     int8_values: bool = False
+    # gather-then-project (exact by linearity): sample RAW src rows and
+    # apply the value projection after pooling. Right when the per-query
+    # row count is small relative to S (decoder cross-attn): kills the
+    # per-layer per-head quad value tables, and the layer-invariant raw
+    # quad table is CSE'd across decoder layers.
+    gather_raw: bool = False
 
     @nn.compact
     def __call__(
@@ -89,10 +122,11 @@ class MSDeformAttn(nn.Module):
             "shared_locs and top_k are separate variants; enable one"
         )
 
-        value = nn.Dense(self.d_model, name="value_proj")(src)
-        if src_padding_mask is not None:
-            value = jnp.where(src_padding_mask[..., None], 0.0, value)
-        value = value.reshape(b, -1, m, d_head)
+        if not self.gather_raw:
+            value = nn.Dense(self.d_model, name="value_proj")(src)
+            if src_padding_mask is not None:
+                value = jnp.where(src_padding_mask[..., None], 0.0, value)
+            value = value.reshape(b, -1, m, d_head)
 
         m_loc = 1 if self.shared_locs else m
         offsets = nn.Dense(
@@ -129,7 +163,21 @@ class MSDeformAttn(nn.Module):
 
         # sampling core runs in the value dtype (bf16 under mixed precision);
         # coordinates/weights stay fp32 inside the op
-        if self.shared_locs:
+        if self.gather_raw:
+            assert not (self.shared_locs or self.top_k or self.int8_values)
+            src_m = src
+            if src_padding_mask is not None:
+                src_m = jnp.where(src_padding_mask[..., None], 0.0, src_m)
+            pooled, wsum = ms_deform_attn_raw_pool(
+                src_m,
+                tuple(spatial_shapes),
+                loc.astype(jnp.float32),
+                attn.astype(jnp.float32),
+            )
+            out = _ValueProjAfterPool(self.d_model, name="value_proj")(
+                pooled.astype(src.dtype), wsum
+            )
+        elif self.shared_locs:
             out = ms_deform_attn_patch_shared(
                 value,
                 tuple(spatial_shapes),
@@ -252,7 +300,9 @@ class DeformableEncoder(nn.Module):
     # the LAST update only the high-level tokens (levels 1..L-1, ~25% of
     # the sequence at flagship scale) as QUERIES — level-0 tokens still
     # serve as values — so per-layer MSDA rows, FFN and einsum work scale
-    # by the high-level fraction; the final layer updates every token.
+    # by the high-level fraction; the final layer is the paper's low-level
+    # feature update: QUERIES = level-0 tokens only (the high-level tokens
+    # were just refreshed), values = all tokens.
     lite: bool = False
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM during
     # training — the encoder activations at 800px are the memory peak)
@@ -287,6 +337,16 @@ class DeformableEncoder(nn.Module):
                     out,  # src_value: full token sequence as values
                 )
                 out = jnp.concatenate([out[:, :split0], high], axis=1)
+            elif self.lite and len(spatial_shapes) > 1:
+                # final layer = low-level update (queries: level-0 tokens)
+                low = layer(
+                    out[:, :split0],
+                    pos[:, :split0] if pos is not None else None,
+                    ref[:, :split0], spatial_shapes, padding_mask,
+                    deterministic,
+                    out,
+                )
+                out = jnp.concatenate([low, out[:, split0:]], axis=1)
             else:
                 out = layer(
                     out, pos, ref, spatial_shapes, padding_mask, deterministic
@@ -323,6 +383,7 @@ class DeformableDecoderLayer(nn.Module):
         )
         tgt2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
+            gather_raw=True,  # few rows/query: see MSDeformAttn.gather_raw
             name="cross_attn",
         )(
             tgt + query_pos if query_pos is not None else tgt,

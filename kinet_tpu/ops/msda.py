@@ -286,8 +286,9 @@ def _quad_slot_weights(c0, f, size):
 
 def _build_quad(v, axis_x, axis_y):
     """[..., H, W, C] -> [..., H, W, 4C]: concat (y0x0, y0x1, y1x0, y1x1)
-    with edge-duplicated shifts. Two dense copies — trivially cheap next to
-    the gather it feeds."""
+    with edge-duplicated shifts, in ONE final concat (a staged 2D->4D
+    build writes the table 1.5x; this writes it once — the operands are
+    slices of v that XLA fuses into the concat)."""
 
     def shift_edge(a, axis):
         sl = [slice(None)] * a.ndim
@@ -296,8 +297,10 @@ def _build_quad(v, axis_x, axis_y):
         last[axis] = slice(-1, None)
         return jnp.concatenate([a[tuple(sl)], a[tuple(last)]], axis=axis)
 
-    vx = jnp.concatenate([v, shift_edge(v, axis_x)], axis=-1)
-    return jnp.concatenate([vx, shift_edge(vx, axis_y)], axis=-1)
+    sx = shift_edge(v, axis_x)
+    return jnp.concatenate(
+        [v, sx, shift_edge(v, axis_y), shift_edge(sx, axis_y)], axis=-1
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_shapes",))
@@ -490,6 +493,62 @@ def ms_deform_attn_quad_unroll(
         )
     out = jnp.stack(outs, axis=2)  # [B, Lq, M, D]
     return out.reshape(b, lq, m * d).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_raw_pool(
+    src: jnp.ndarray,  # [B, S, C] RAW (pre-value-projection) features
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,  # [B, Lq, M, L, P, 2]
+    attention_weights: jnp.ndarray,  # [B, Lq, M, L, P]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-then-project formulation, pooling stage: bilinear-sample RAW
+    src rows (before the value projection) and reduce over samples/corners.
+
+    Returns (pooled [B, Lq, M, C], weight_sum [B, Lq, M]). The caller
+    applies the value projection AFTER pooling — exact by linearity:
+      sum_k w_k * (src_k @ Wv + b) = (sum_k w_k * src_k) @ Wv + (sum_k w_k) b.
+
+    Why: for DECODER cross-attention the per-query sample count is small
+    (Lq*L*P rows/head ~ 19k at flagship scale), so per-layer per-head quad
+    VALUE tables (the dominant decoder-MSDA cost: ~10 ms/frame of builds,
+    reference-equivalent semantics ms_deform_attn_func.py:34-54) are pure
+    overhead. Sampling raw rows instead needs ONE quad table of the raw
+    memory, which is identical for every decoder layer, so XLA CSE builds
+    it once per frame. Quad rows are [1, 4C] = 9 exact 128-lane tiles at
+    C=288 (no pad waste; cf. the per-head [1,144]->256-lane padded rows).
+    """
+    b, s, c = src.shape
+    _, lq, m, l, p, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    compute_dtype = src.dtype
+
+    quads = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = src[:, starts[lvl] : starts[lvl] + h * w].reshape(b, h, w, c)
+        quads.append(
+            _build_quad(v, axis_x=2, axis_y=1).reshape(b, h * w, 4 * c)
+        )
+    vq = jnp.concatenate(quads, axis=1).reshape(b * s, 4 * c)
+
+    idx, w4 = _flat_cell_index(sampling_locations, spatial_shapes, starts)
+    w = w4 * attention_weights[..., None]  # [B, Lq, M, L, P, 4]
+    # [B, Lq, M, L, P(, 4)] -> [M, B, Lq*L*P(, 4)]
+    idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, b, lq * l * p)
+    w = w.transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
+
+    bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
+    pooled, wsum = [], []
+    for hm in range(m):
+        rows = (idx[hm] + bofs).reshape(b * lq * l * p)
+        g = _rows_gather(vq, rows).reshape(b, lq, l * p, 4, c)
+        w_h = w[hm].astype(compute_dtype)
+        pooled.append(jnp.einsum("bqkc,bqkcd->bqd", w_h, g))
+        wsum.append(jnp.sum(w[hm], axis=(2, 3)))
+    return (
+        jnp.stack(pooled, axis=2),  # [B, Lq, M, C]
+        jnp.stack(wsum, axis=2).astype(jnp.float32),  # [B, Lq, M]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "top_k"))

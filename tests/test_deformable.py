@@ -174,3 +174,29 @@ def test_deformable_multi_frame_track_queries():
     assert (np.asarray(q4t[:, 1]) == 0).all()  # pinned to TP slot
     losses = criterion(out, targets)
     assert jnp.isfinite(criterion.total_loss(losses))
+
+
+def test_msda_gather_raw_matches_project_first():
+    """gather-then-project (decoder fast path) must match the standard
+    project-then-gather MSDeformAttn on identical params — exact by
+    linearity (fp32; only summation order differs)."""
+    from kinet_tpu.models.deformable_transformer import MSDeformAttn
+
+    b, lq, c, m = 2, 7, 32, 4
+    shapes = ((6, 9), (3, 5))
+    s = sum(h * w for h, w in shapes)
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    query = jax.random.normal(k1, (b, lq, c))
+    src = jax.random.normal(k2, (b, s, c))
+    ref = jax.random.uniform(k3, (b, lq, len(shapes), 2), minval=0.05, maxval=0.95)
+    pad = jnp.zeros((b, s), bool).at[:, -4:].set(True)
+
+    std = MSDeformAttn(c, len(shapes), m, 3, gather_raw=False)
+    raw = MSDeformAttn(c, len(shapes), m, 3, gather_raw=True)
+    params = std.init(jax.random.PRNGKey(1), query, ref, src, shapes, pad)
+    out_std = std.apply(params, query, ref, src, shapes, pad)
+    out_raw = raw.apply(params, query, ref, src, shapes, pad)
+    np.testing.assert_allclose(
+        np.asarray(out_raw), np.asarray(out_std), rtol=1e-4, atol=1e-4
+    )
