@@ -362,6 +362,7 @@ class DeformableDecoderLayer(nn.Module):
     n_levels: int
     n_heads: int
     n_points: int
+    gather_raw: bool = False  # cross-attn via gather-then-project
 
     @nn.compact
     def __call__(
@@ -383,7 +384,7 @@ class DeformableDecoderLayer(nn.Module):
         )
         tgt2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            gather_raw=True,  # few rows/query: see MSDeformAttn.gather_raw
+            gather_raw=self.gather_raw,
             name="cross_attn",
         )(
             tgt + query_pos if query_pos is not None else tgt,
@@ -413,6 +414,7 @@ class DeformableDecoder(nn.Module):
     n_levels: int
     n_heads: int
     n_points: int
+    gather_raw: bool = False
 
     @nn.compact
     def __call__(
@@ -432,7 +434,8 @@ class DeformableDecoder(nn.Module):
                 ref_input = reference_points[:, :, None] * valid_ratios[:, None]
             output = DeformableDecoderLayer(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
-                self.n_levels, self.n_heads, self.n_points, name=f"layer{i}",
+                self.n_levels, self.n_heads, self.n_points,
+                gather_raw=self.gather_raw, name=f"layer{i}",
             )(
                 output, query_pos, ref_input, src, spatial_shapes,
                 src_padding_mask, query_pad_mask, deterministic,
@@ -501,6 +504,7 @@ class DeformableTransformer(nn.Module):
     enc_topk: int = 0  # encoder MSDA: DEFA-style top-k sample pruning
     enc_int8: bool = False  # encoder MSDA: int8 value tables at inference
     enc_lite: bool = False  # Lite-DETR interleaved high-level update
+    dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
     remat: bool = False
 
     def setup(self):
@@ -517,7 +521,7 @@ class DeformableTransformer(nn.Module):
         self.decoder = DeformableDecoder(
             self.num_decoder_layers, self.d_model, self.dim_feedforward,
             self.dropout, self.activation, self.num_feature_levels,
-            self.nheads, self.dec_n_points,
+            self.nheads, self.dec_n_points, gather_raw=self.dec_gather_raw,
         )
         self.level_embed = self.param(
             "level_embed",

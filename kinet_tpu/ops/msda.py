@@ -480,16 +480,31 @@ def ms_deform_attn_quad_unroll(
     ).transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
 
     bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
+    k_samp = l * p
+    r = b * lq * k_samp
     outs = []
     for hm in range(m):
         tbl = vq[:, hm].reshape(b * s, 4 * d)
-        rows = (idx[hm] + bofs).reshape(b * lq * l * p)
-        g = _rows_gather(tbl, rows).reshape(b, lq, l * p, 4, d)
-        w_h = w4[hm].astype(compute_dtype)
+        # SAMPLE-MAJOR row order (r = k * B*Lq + q): the consumer stays in
+        # the gather's [R, 4D] row-major layout — corner reduce as 4
+        # lane-sliced multiply-adds, sample reduce as a free major-dim
+        # reshape + axis-0 sum. The q-major einsum formulation forced a
+        # T(4,128) relayout of the whole gather output plus a kLoop
+        # reduction, each about as expensive as the gather itself.
+        idx_k = idx[hm].reshape(b, lq, k_samp).transpose(2, 0, 1)
+        rows = (idx_k + bofs[None]).reshape(r)
+        g = _rows_gather(tbl, rows)  # [K*B*Lq, 4D]
+        w_h = w4[hm]
         if value_scale is not None:
             w_h = w_h * value_scale[:, hm].reshape(b, 1, 1, 1)
+        wf = (
+            w_h.transpose(2, 0, 1, 3).reshape(r, 4).astype(compute_dtype)
+        )
+        acc = wf[:, 0:1] * g[:, :d]
+        for c4 in range(1, 4):
+            acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * d : (c4 + 1) * d]
         outs.append(
-            jnp.einsum("bqkc,bqkcd->bqd", w_h, g.astype(compute_dtype))
+            jnp.sum(acc.reshape(k_samp, b * lq, d), axis=0).reshape(b, lq, d)
         )
     out = jnp.stack(outs, axis=2)  # [B, Lq, M, D]
     return out.reshape(b, lq, m * d).astype(jnp.float32)
@@ -538,12 +553,30 @@ def ms_deform_attn_raw_pool(
     w = w.transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
 
     bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
+    k_samp = l * p
+    r = b * lq * k_samp
     pooled, wsum = [], []
     for hm in range(m):
-        rows = (idx[hm] + bofs).reshape(b * lq * l * p)
-        g = _rows_gather(vq, rows).reshape(b, lq, l * p, 4, c)
-        w_h = w[hm].astype(compute_dtype)
-        pooled.append(jnp.einsum("bqkc,bqkcd->bqd", w_h, g))
+        # SAMPLE-MAJOR row order: r = k * (B*Lq) + q. The consumer then
+        # never leaves the gather's [R, *] row-major layout — corner reduce
+        # is 4 lane-sliced multiply-adds, sample reduce is a major-dim
+        # reshape (free) + axis-0 sum (K-way tensor add). The q-major order
+        # needed a T(4,128) relayout of the whole gather output (~0.2 ms
+        # x heads x layers), and a reduce_window lowered to a conv that
+        # was just as slow.
+        idx_k = idx[hm].reshape(b, lq, k_samp).transpose(2, 0, 1)
+        rows = (idx_k + bofs[None]).reshape(r)
+        g = _rows_gather(vq, rows)  # [K*B*Lq, 4C]
+        wf = (
+            w[hm].transpose(2, 0, 1, 3).reshape(r, 4).astype(compute_dtype)
+        )
+        acc = wf[:, 0:1] * g[:, :c]
+        for c4 in range(1, 4):
+            acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * c : (c4 + 1) * c]
+        red = jnp.sum(
+            acc.reshape(k_samp, b * lq, c).astype(jnp.float32), axis=0
+        )
+        pooled.append(red.reshape(b, lq, c).astype(compute_dtype))
         wsum.append(jnp.sum(w[hm], axis=(2, 3)))
     return (
         jnp.stack(pooled, axis=2),  # [B, Lq, M, C]
