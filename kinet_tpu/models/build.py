@@ -125,6 +125,7 @@ def build_model(cfg):
             enc_msda_topk=int(cfg.get("enc_msda_topk", 0)),
             enc_msda_int8=bool(cfg.get("enc_msda_int8", False)),
             enc_lite=bool(cfg.get("enc_lite", False)),
+            enc_lite_klevels=int(cfg.get("enc_lite_klevels", 0)),
             dec_gather_raw=bool(cfg.get("dec_gather_raw", False)),
             masks=cfg.masks,
             remat=bool(cfg.get("remat", False)),

@@ -63,6 +63,7 @@ class DeformableDETR(nn.Module):
     enc_msda_topk: int = 0  # encoder MSDA: DEFA-style top-k pruning
     enc_msda_int8: bool = False  # encoder MSDA: int8 values at inference
     enc_lite: bool = False  # Lite-DETR interleaved high-level update
+    enc_lite_klevels: int = 0  # low-level update: sample k finest levels
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
     num_track_slots: int = 0
     focal_loss: bool = True
@@ -135,6 +136,7 @@ class DeformableDETR(nn.Module):
             enc_topk=self.enc_msda_topk,
             enc_int8=self.enc_msda_int8,
             enc_lite=self.enc_lite,
+            enc_lite_klevels=self.enc_lite_klevels,
             dec_gather_raw=self.dec_gather_raw,
             remat=self.remat,
         )

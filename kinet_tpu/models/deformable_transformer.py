@@ -304,6 +304,12 @@ class DeformableEncoder(nn.Module):
     # feature update: QUERIES = level-0 tokens only (the high-level tokens
     # were just refreshed), values = all tokens.
     lite: bool = False
+    # Restrict the final low-level update to sample only from the k FINEST
+    # levels (0 = all). Gather cost is per-row and the low-level update is
+    # the single most expensive MSDA call (Lq = the full level-0 grid), so
+    # dropping sampled levels cuts its rows proportionally; the coarse
+    # levels it stops seeing were themselves refreshed from level-0 values.
+    lite_low_klevels: int = 0
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM during
     # training — the encoder activations at 800px are the memory peak)
 
@@ -321,9 +327,18 @@ class DeformableEncoder(nn.Module):
         split0 = spatial_shapes[0][0] * spatial_shapes[0][1]
         out = src
         for i in range(self.num_layers):
+            last_lite = (
+                self.lite
+                and i == self.num_layers - 1
+                and len(spatial_shapes) > 1
+            )
+            k = len(spatial_shapes)
+            if last_lite and self.lite_low_klevels:
+                k = min(self.lite_low_klevels, k)
             layer = layer_cls(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
-                self.n_levels, self.n_heads, self.n_points,
+                k if last_lite else self.n_levels, self.n_heads,
+                self.n_points,
                 shared_locs=self.shared_locs, top_k=self.top_k,
                 int8_values=self.int8_values,
                 name=f"layer{i}",
@@ -337,14 +352,18 @@ class DeformableEncoder(nn.Module):
                     out,  # src_value: full token sequence as values
                 )
                 out = jnp.concatenate([out[:, :split0], high], axis=1)
-            elif self.lite and len(spatial_shapes) > 1:
-                # final layer = low-level update (queries: level-0 tokens)
+            elif last_lite:
+                # final layer = low-level update (queries: level-0 tokens);
+                # values/levels restricted to the k finest levels
+                s_k = int(sum(h * w for h, w in spatial_shapes[:k]))
                 low = layer(
                     out[:, :split0],
                     pos[:, :split0] if pos is not None else None,
-                    ref[:, :split0], spatial_shapes, padding_mask,
+                    ref[:, :split0, :k], spatial_shapes[:k],
+                    padding_mask[:, :s_k] if padding_mask is not None
+                    else None,
                     deterministic,
-                    out,
+                    out[:, :s_k],
                 )
                 out = jnp.concatenate([low, out[:, split0:]], axis=1)
             else:
@@ -504,6 +523,7 @@ class DeformableTransformer(nn.Module):
     enc_topk: int = 0  # encoder MSDA: DEFA-style top-k sample pruning
     enc_int8: bool = False  # encoder MSDA: int8 value tables at inference
     enc_lite: bool = False  # Lite-DETR interleaved high-level update
+    enc_lite_klevels: int = 0  # low-level update: sample k finest levels
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
     remat: bool = False
 
@@ -516,7 +536,8 @@ class DeformableTransformer(nn.Module):
             self.dropout, self.activation, enc_levels, self.nheads,
             self.enc_n_points, shared_locs=self.enc_shared_locs,
             top_k=self.enc_topk, int8_values=self.enc_int8,
-            lite=self.enc_lite, remat=self.remat,
+            lite=self.enc_lite, lite_low_klevels=self.enc_lite_klevels,
+            remat=self.remat,
         )
         self.decoder = DeformableDecoder(
             self.num_decoder_layers, self.d_model, self.dim_feedforward,

@@ -60,6 +60,7 @@ def test_deformable_variants_overfit_single_image():
         dec_n_points=2, enc_n_points=4, with_box_refine=False,
         enc_msda_topk=4,  # prune half of the 2x4 samples
         enc_lite=True,  # Lite-DETR interleaved high-level update
+        enc_lite_klevels=2,  # low-level update sees only 2 finest levels
     )
     model, criterion, _ = build_model(cfg)
     key = jax.random.PRNGKey(0)
