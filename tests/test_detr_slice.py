@@ -147,3 +147,30 @@ def test_kinet_forward():
     assert out["pred_logits"].shape == (2, 12, 21)
     losses = criterion(out, targets)
     assert jnp.isfinite(criterion.total_loss(losses))
+
+
+def test_stem_conv_space_to_depth_exact():
+    """StemConv (7x7/s2 as 4x4/s1 on space-to-depth input — the MXU-fit
+    stem) must match the direct strided conv bit-for-bit up to float
+    noise, including odd spatial sizes."""
+    import flax.linen as nn
+    import numpy as np
+
+    from kinet_tpu.models.backbone import StemConv
+
+    for h, w in [(64, 96), (33, 47), (10, 10)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, 3))
+        stem = StemConv(64)
+        params = stem.init(jax.random.PRNGKey(1), x)
+        ref = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False,
+        )
+        out_new = stem.apply(params, x)
+        out_ref = ref.apply(
+            {"params": {"kernel": params["params"]["kernel"]}}, x
+        )
+        assert out_new.shape == out_ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out_new), np.asarray(out_ref), atol=2e-5
+        )
