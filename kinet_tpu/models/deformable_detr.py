@@ -216,6 +216,9 @@ class DeformableDETR(nn.Module):
         prev_memory=None,  # (encoded memory [B,S_half,C], pad_mask) of the
         # previous frame — skips its backbone/input-proj/encoder entirely
         # (requires cache_prev_encoder; produced as out["frame_memory"])
+        pos_cache=None,  # per-level sine position embeddings from a prior
+        # step (out["pos_cache"]): pure functions of the pad mask, which is
+        # fixed across a tracking sequence — skips ~1 ms/frame of sin/cos
         deterministic: bool = True,
     ):
         feats_all, _ = self.backbone(batch.images, batch.pad_mask)
@@ -240,7 +243,10 @@ class DeformableDETR(nn.Module):
         srcs, masks = self._project_levels(
             feats, batch.pad_mask, merge_with=prev_projected
         )
-        pos = self._pos_embeds(masks, frame_idx=0)
+        if pos_cache is not None:
+            pos = list(pos_cache)
+        else:
+            pos = self._pos_embeds(masks, frame_idx=0)
 
         tf_kwargs = {}
         if self.multi_frame_attention:
@@ -350,6 +356,10 @@ class DeformableDETR(nn.Module):
                 for m in masks[: self.num_feature_levels]
             )
             out["frame_memory"] = (memory[:, :split], batch.pad_mask)
+            # current-frame per-level sine pos embeddings, reusable as the
+            # next frame's pos_cache while the pad mask is unchanged (it is
+            # across a tracking sequence)
+            out["pos_cache"] = tuple(pos[: self.num_feature_levels])
         out["backbone_features"] = feats_all  # all levels (mask-head FPN)
         out["memory"] = memory
         return out

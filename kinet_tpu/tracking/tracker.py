@@ -109,12 +109,14 @@ def make_forward_fn(model, params, postprocess, attention_maps=False):
     model_caches_memory = bool(getattr(model, "cache_prev_encoder", False))
 
     @jax.jit
-    def fwd(params, batch, targets, orig_size, prev_features, prev_memory):
+    def fwd(params, batch, targets, orig_size, prev_features, prev_memory,
+            pos_cache):
         kwargs = {}
         if model_takes_prev:
             kwargs["prev_features"] = prev_features
         if model_caches_memory:
             kwargs["prev_memory"] = prev_memory
+            kwargs["pos_cache"] = pos_cache
         if attention_maps:
             out, state = model.apply(
                 params, batch, targets, mutable=["intermediates"], **kwargs
@@ -133,6 +135,7 @@ def make_forward_fn(model, params, postprocess, attention_maps=False):
                 None if model_caches_memory else out.get("frame_features")
             ),
             "frame_memory": out.get("frame_memory"),
+            "pos_cache": out.get("pos_cache"),
         }
         if "pred_masks" in out:
             # per-query mask probabilities at input resolution
@@ -201,6 +204,9 @@ class Tracker:
         self.inactive_tracks: list[Track] = []
         self._prev_features = deque([None], maxlen=self.prev_frame_dist)
         self._prev_memory = deque([None], maxlen=self.prev_frame_dist)
+        # sine pos embeddings are a pure function of the (per-sequence
+        # fixed) pad mask — computed by the first frame, reused after
+        self._pos_cache = None
         if hard:
             self.track_num = 0
             self.results = {}
@@ -375,7 +381,7 @@ class Tracker:
 
         res = self._fwd(
             self.params, batch, targets, orig_size,
-            self._prev_features[0], self._prev_memory[0],
+            self._prev_features[0], self._prev_memory[0], self._pos_cache,
         )
         scores = np.asarray(res["scores"][0])
         labels = np.asarray(res["labels"][0])
@@ -531,6 +537,8 @@ class Tracker:
             self._prev_features.append(res["frame_features"])
         if res.get("frame_memory") is not None:
             self._prev_memory.append(res["frame_memory"])
+        if res.get("pos_cache") is not None:
+            self._pos_cache = res["pos_cache"]
 
         if self.reid_sim_only:
             self.move_tracks_to_inactive(list(self.tracks))

@@ -141,6 +141,23 @@ def test_cache_prev_encoder_matches_recompute():
         atol=1e-5,
     )
 
+    # pos_cache: reusing the first frame's sine embeddings (pad mask is
+    # fixed across a sequence) must be bit-equivalent to recomputing them
+    fwd_pm_pc = jax.jit(
+        lambda p, b, tg, pm, pc: model.apply(
+            p, b, tg, prev_memory=pm, pos_cache=pc
+        )
+    )
+    out_pc = fwd_pm_pc(
+        params, batch, targets, out_first["frame_memory"],
+        out_first["pos_cache"],
+    )
+    for k in ("pred_logits", "pred_boxes", "hs_embed"):
+        np.testing.assert_allclose(
+            np.asarray(out_pc[k]), np.asarray(out_cached[k]),
+            atol=0, err_msg=k,
+        )
+
 
 def test_deformable_multi_frame_track_queries():
     cfg = dcfg(

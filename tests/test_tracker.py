@@ -82,7 +82,8 @@ def make_tracker(script, **cfg_over):
         num_object_queries=10, num_track_slots=8, hidden_dim=16,
     )
     # bypass jit for the stub (it returns plain dicts)
-    def fwd(params, batch, targets, orig_size, prev_features, prev_memory):
+    def fwd(params, batch, targets, orig_size, prev_features, prev_memory,
+            pos_cache=None):
         out = model.apply(params, batch, targets)
         res = postprocess(out, orig_size)
         return {
