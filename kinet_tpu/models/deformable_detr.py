@@ -251,12 +251,17 @@ class DeformableDETR(nn.Module):
         tf_kwargs = {}
         if self.multi_frame_attention:
             if self.cache_prev_encoder and prev_memory is not None:
-                mem_prev, prev_pad = prev_memory
+                # (memory, pad_mask) or (memory, pad_mask, decoder quad)
+                mem_prev, prev_pad = prev_memory[0], prev_memory[1]
+                prev_quad = prev_memory[2] if len(prev_memory) > 2 else None
                 p_masks = [
                     downsample_pad_mask(prev_pad, (m.shape[1], m.shape[2]))
                     for m in masks
                 ]
-                tf_kwargs = dict(prev_encoded=mem_prev, prev_masks=p_masks)
+                tf_kwargs = dict(
+                    prev_encoded=mem_prev, prev_masks=p_masks,
+                    prev_quad=prev_quad,
+                )
             elif self.cache_prev_encoder and prev_features is None:
                 # first frame: prev := current; with the frame-agnostic
                 # encoder its memory is exactly mem_cur — one encoder run
@@ -293,7 +298,8 @@ class DeformableDETR(nn.Module):
             tq_embeds = None
             tq_boxes = None
 
-        (hs, memory, init_ref, inter_refs, enc_cls, enc_coord, q_pad) = (
+        (hs, memory, init_ref, inter_refs, enc_cls, enc_coord, q_pad,
+         quad_cur) = (
             self.transformer(
                 srcs,
                 masks,
@@ -355,7 +361,11 @@ class DeformableDETR(nn.Module):
                 m.shape[1] * m.shape[2]
                 for m in masks[: self.num_feature_levels]
             )
-            out["frame_memory"] = (memory[:, :split], batch.pad_mask)
+            out["frame_memory"] = (
+                (memory[:, :split], batch.pad_mask)
+                if quad_cur is None
+                else (memory[:, :split], batch.pad_mask, quad_cur)
+            )
             # current-frame per-level sine pos embeddings, reusable as the
             # next frame's pos_cache while the pad mask is unchanged (it is
             # across a tracking sequence)

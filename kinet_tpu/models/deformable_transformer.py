@@ -114,6 +114,8 @@ class MSDeformAttn(nn.Module):
         src_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True=pad
         query_mask: Optional[jnp.ndarray] = None,  # [B, Lq] True=masked
         deterministic: bool = True,
+        src_quad: Optional[jnp.ndarray] = None,  # prebuilt [B, S, 4C] quad
+        # table of (masked) src — gather_raw only; lets the caller cache it
     ) -> jnp.ndarray:
         b, lq, _ = query.shape
         m, l, p = self.n_heads, self.n_levels, self.n_points
@@ -166,13 +168,14 @@ class MSDeformAttn(nn.Module):
         if self.gather_raw:
             assert not (self.shared_locs or self.top_k or self.int8_values)
             src_m = src
-            if src_padding_mask is not None:
+            if src_quad is None and src_padding_mask is not None:
                 src_m = jnp.where(src_padding_mask[..., None], 0.0, src_m)
             pooled, wsum = ms_deform_attn_raw_pool(
                 src_m,
                 tuple(spatial_shapes),
                 loc.astype(jnp.float32),
                 attn.astype(jnp.float32),
+                src_quad,
             )
             out = _ValueProjAfterPool(self.d_model, name="value_proj")(
                 pooled.astype(src.dtype), wsum
@@ -387,6 +390,7 @@ class DeformableDecoderLayer(nn.Module):
     def __call__(
         self, tgt, query_pos, reference_points, src, spatial_shapes,
         src_padding_mask=None, query_pad_mask=None, deterministic=True,
+        src_quad=None,
     ):
         q = k = tgt + query_pos if query_pos is not None else tgt
         attn_mask = (
@@ -408,7 +412,7 @@ class DeformableDecoderLayer(nn.Module):
         )(
             tgt + query_pos if query_pos is not None else tgt,
             reference_points, src, spatial_shapes, src_padding_mask,
-            query_mask=query_pad_mask,
+            query_mask=query_pad_mask, src_quad=src_quad,
         )
         tgt = nn.LayerNorm()(
             tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
@@ -439,7 +443,7 @@ class DeformableDecoder(nn.Module):
     def __call__(
         self, tgt, reference_points, src, spatial_shapes, valid_ratios,
         query_pos=None, src_padding_mask=None, query_pad_mask=None,
-        bbox_embed_fns=None, deterministic=True,
+        bbox_embed_fns=None, deterministic=True, src_quad=None,
     ):
         output = tgt
         intermediates, inter_refs = [], []
@@ -457,7 +461,7 @@ class DeformableDecoder(nn.Module):
                 gather_raw=self.gather_raw, name=f"layer{i}",
             )(
                 output, query_pos, ref_input, src, spatial_shapes,
-                src_padding_mask, query_pad_mask, deterministic,
+                src_padding_mask, query_pad_mask, deterministic, src_quad,
             )
             if bbox_embed_fns is not None:
                 tmp = bbox_embed_fns[i](output)
@@ -602,6 +606,9 @@ class DeformableTransformer(nn.Module):
         prev_encoded=None,  # [B, S_half, C] cached prev-frame encoder memory
         prev_masks=None,  # per-level prev pad masks (with prev_encoded)
         prev_is_current=False,  # first frame: reuse mem_cur as mem_prev
+        prev_quad=None,  # [B, S_half, 4C] cached prev-frame decoder quad
+        # table (with prev_encoded + dec_gather_raw): identical to what the
+        # previous step built for its current half
         deterministic=True,
     ):
         b = srcs[0].shape[0]
@@ -751,11 +758,40 @@ class DeformableTransformer(nn.Module):
                 )
 
         init_reference = reference_points
+        src_quad = None
+        quad_cur = None
+        if self.dec_gather_raw:
+            # decoder cross-attn value table, built ONCE for all layers
+            # (layer-invariant: gather_raw samples pre-projection memory).
+            # In the cached-memory path the halves are built separately so
+            # the prev half can come from last step's cache.
+            from ..ops.msda import build_raw_quad
+
+            masked = jnp.where(mask_flat[..., None], 0.0, memory)
+            if prev_encoded is not None or prev_is_current:
+                half_shapes = spatial_shapes[:half_l]
+                s_half = sum(h * w for h, w in half_shapes)
+                quad_cur = build_raw_quad(
+                    masked[:, :s_half], half_shapes
+                )
+                if prev_is_current:
+                    quad_prev = quad_cur
+                elif prev_quad is not None:
+                    quad_prev = prev_quad.astype(quad_cur.dtype)
+                else:
+                    quad_prev = build_raw_quad(
+                        masked[:, s_half:], spatial_shapes[half_l:]
+                    )
+                src_quad = jnp.concatenate([quad_cur, quad_prev], axis=1)
+            else:
+                src_quad = build_raw_quad(masked, spatial_shapes)
         hs, inter_refs = self.decoder(
             tgt, reference_points, memory, spatial_shapes, valid_ratios,
             query_pos, mask_flat, query_pad_mask, bbox_embed_fns, deterministic,
+            src_quad,
         )
         return (
             hs, memory, init_reference, inter_refs,
             enc_outputs_class, enc_outputs_coord_unact, query_pad_mask,
+            quad_cur,
         )

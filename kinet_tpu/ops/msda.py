@@ -511,11 +511,31 @@ def ms_deform_attn_quad_unroll(
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def build_raw_quad(
+    src: jnp.ndarray,  # [B, S, C] (pad rows already zeroed by the caller)
+    spatial_shapes: Sequence[Tuple[int, int]],
+) -> jnp.ndarray:
+    """[B, S, C] -> [B, S, 4C] per-level 2x2-corner quad table (the value
+    table ms_deform_attn_raw_pool gathers from). Exposed so callers can
+    build it once and CACHE the per-frame halves across tracker steps:
+    with cache_prev_encoder the prev half equals last frame's cur half."""
+    b, s, c = src.shape
+    starts = level_start_index(spatial_shapes)
+    quads = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = src[:, starts[lvl] : starts[lvl] + h * w].reshape(b, h, w, c)
+        quads.append(
+            _build_quad(v, axis_x=2, axis_y=1).reshape(b, h * w, 4 * c)
+        )
+    return jnp.concatenate(quads, axis=1)
+
+
 def ms_deform_attn_raw_pool(
     src: jnp.ndarray,  # [B, S, C] RAW (pre-value-projection) features
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,  # [B, Lq, M, L, P, 2]
     attention_weights: jnp.ndarray,  # [B, Lq, M, L, P]
+    src_quad: jnp.ndarray = None,  # optional prebuilt quad table [B, S, 4C]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-then-project formulation, pooling stage: bilinear-sample RAW
     src rows (before the value projection) and reduce over samples/corners.
@@ -538,13 +558,9 @@ def ms_deform_attn_raw_pool(
     starts = level_start_index(spatial_shapes)
     compute_dtype = src.dtype
 
-    quads = []
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        v = src[:, starts[lvl] : starts[lvl] + h * w].reshape(b, h, w, c)
-        quads.append(
-            _build_quad(v, axis_x=2, axis_y=1).reshape(b, h * w, 4 * c)
-        )
-    vq = jnp.concatenate(quads, axis=1).reshape(b * s, 4 * c)
+    if src_quad is None:
+        src_quad = build_raw_quad(src, spatial_shapes)
+    vq = src_quad.reshape(b * s, 4 * c)
 
     idx, w4 = _flat_cell_index(sampling_locations, spatial_shapes, starts)
     w = w4 * attention_weights[..., None]  # [B, Lq, M, L, P, 4]
