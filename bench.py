@@ -117,9 +117,14 @@ def main():
     s = float(run_frames(params, batch, targets, feats, pos_cache))
     log(f"compile run_frames (+1st run): {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    s = float(run_frames(params, batch, targets, feats, pos_cache))
-    dt = time.perf_counter() - t0
+    # best-of-3: device throughput through the remote tunnel varies a few
+    # percent run to run; min time is the stable estimator of the
+    # achievable rate (each run is ITERS frames inside one dispatch)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = float(run_frames(params, batch, targets, feats, pos_cache))
+        dt = min(dt, time.perf_counter() - t0)
     log(f"checksum: {s}")
     fps = ITERS * b / dt
 

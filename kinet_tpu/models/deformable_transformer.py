@@ -767,12 +767,14 @@ class DeformableTransformer(nn.Module):
             # the prev half can come from last step's cache.
             from ..ops.msda import build_raw_quad
 
-            masked = jnp.where(mask_flat[..., None], 0.0, memory)
             if prev_encoded is not None or prev_is_current:
                 half_shapes = spatial_shapes[:half_l]
                 s_half = sum(h * w for h, w in half_shapes)
                 quad_cur = build_raw_quad(
-                    masked[:, :s_half], half_shapes
+                    jnp.where(
+                        mask_flat[:, :s_half, None], 0.0, memory[:, :s_half]
+                    ),
+                    half_shapes,
                 )
                 if prev_is_current:
                     quad_prev = quad_cur
@@ -780,11 +782,18 @@ class DeformableTransformer(nn.Module):
                     quad_prev = prev_quad.astype(quad_cur.dtype)
                 else:
                     quad_prev = build_raw_quad(
-                        masked[:, s_half:], spatial_shapes[half_l:]
+                        jnp.where(
+                            mask_flat[:, s_half:, None], 0.0,
+                            memory[:, s_half:],
+                        ),
+                        spatial_shapes[half_l:],
                     )
                 src_quad = jnp.concatenate([quad_cur, quad_prev], axis=1)
             else:
-                src_quad = build_raw_quad(masked, spatial_shapes)
+                src_quad = build_raw_quad(
+                    jnp.where(mask_flat[..., None], 0.0, memory),
+                    spatial_shapes,
+                )
         hs, inter_refs = self.decoder(
             tgt, reference_points, memory, spatial_shapes, valid_ratios,
             query_pos, mask_flat, query_pad_mask, bbox_embed_fns, deterministic,

@@ -39,18 +39,22 @@ params = jax.tree_util.tree_map(
     params,
 )
 
-first = jax.jit(lambda p, ba, t_: model.apply(p, ba, t_)["frame_memory"])
-mem = first(params, batch, tg)
+first = jax.jit(
+    lambda p, ba, t_: (
+        lambda o: (o["frame_memory"], o["pos_cache"])
+    )(model.apply(p, ba, t_))
+)
+mem, pc = first(params, batch, tg)
 fwd = jax.jit(
-    lambda p, ba, t_, m: jnp.sum(
-        model.apply(p, ba, t_, prev_memory=m)["pred_boxes"]
+    lambda p, ba, t_, m, pc_: jnp.sum(
+        model.apply(p, ba, t_, prev_memory=m, pos_cache=pc_)["pred_boxes"]
     )
 )
-print("warmup:", float(fwd(params, batch, tg, mem)), flush=True)
+print("warmup:", float(fwd(params, batch, tg, mem, pc)), flush=True)
 TRACE = "/tmp/jaxtrace_cached"
 with jax.profiler.trace(TRACE):
     for _ in range(2):
-        float(fwd(params, batch, tg, mem))
+        float(fwd(params, batch, tg, mem, pc))
 print("trace done", flush=True)
 
 files = sorted(glob.glob(TRACE + "/**/*.trace.json.gz", recursive=True))
