@@ -217,18 +217,28 @@ class BackboneWithMasksAll(Backbone):
 
 
 class LayerBackboneFC(nn.Module):
-    """3-layer MLP + LayerNorm over detection vectors (reference :111-125)."""
+    """3-linear MLP + LayerNorm over detection vectors (reference :111-125).
+
+    Exact reference dataflow: the single activation sits after linear2 —
+        norm(linear3(dropout(act(linear2(dropout(linear1(x)))))))
+    (no activation after linear1 or linear3)."""
 
     hidden_dim: int
+    dropout: float = 0.1
+    activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.hidden_dim)(x)
-        x = nn.relu(x)
-        x = nn.Dense(self.hidden_dim)(x)
-        x = nn.relu(x)
-        x = nn.Dense(self.hidden_dim)(x)
-        return nn.LayerNorm()(x)
+    def __call__(self, x, deterministic=True):
+        act = {"relu": nn.relu, "gelu": nn.gelu, "glu": nn.glu}[
+            self.activation
+        ]
+        x = nn.Dense(self.hidden_dim, name="linear1")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = act(nn.Dense(self.hidden_dim, name="linear2")(x))
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.hidden_dim, name="linear3")(x)
+        # torch nn.LayerNorm eps (1e-5; flax defaults to 1e-6)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class KinetBackbone(nn.Module):
@@ -239,9 +249,20 @@ class KinetBackbone(nn.Module):
     """
 
     hidden_dim: int
+    dropout: float = 0.1
+    activation: str = "relu"
 
     @nn.compact
-    def __call__(self, detections: jnp.ndarray, metadata: jnp.ndarray):
-        det = LayerBackboneFC(self.hidden_dim, name="det_backbone")(detections)
-        meta = LayerBackboneFC(self.hidden_dim, name="meta_backbone")(metadata)
+    def __call__(
+        self, detections: jnp.ndarray, metadata: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        det = LayerBackboneFC(
+            self.hidden_dim, self.dropout, self.activation,
+            name="det_backbone",
+        )(detections, deterministic)
+        meta = LayerBackboneFC(
+            self.hidden_dim, self.dropout, self.activation,
+            name="meta_backbone",
+        )(metadata, deterministic)
         return det, meta

@@ -221,7 +221,9 @@ class KineT(nn.Module):
     focal_loss: bool = False
 
     def setup(self):
-        self.det_backbone = KinetBackbone(self.hidden_dim)
+        self.det_backbone = KinetBackbone(
+            self.hidden_dim, self.dropout, self.activation
+        )
         self.query_embed = self.param(
             "query_embed",
             nn.initializers.normal(1.0),
@@ -337,7 +339,9 @@ class KinematicDetectorTransformer(nn.Module):
     focal_loss: bool = False
 
     def setup(self):
-        self.kinet_backbone = KinetBackbone(self.hidden_dim)
+        self.kinet_backbone = KinetBackbone(
+            self.hidden_dim, self.dropout, self.activation
+        )
         self.query_embed_det = self.param(
             "query_embed_det",
             nn.initializers.normal(1.0),
@@ -362,8 +366,16 @@ class KinematicDetectorTransformer(nn.Module):
         self.class_embed = nn.Dense(out_classes, name="class_embed")
         self.bbox_embed = MLP(self.hidden_dim, 4, 3, name="bbox_embed")
         if self.trail_enc_dim:
-            self.track_proj_det = nn.Dense(self.hidden_dim)
-            self.track_proj_meta = nn.Dense(self.hidden_dim)
+            # reference input_proj_tracklets_det / _metadata
+            # (detr.py:314-316): 3-layer MLPs, the metadata one through a
+            # hidden_dim//2 bottleneck
+            self.track_proj_det = MLP(
+                self.hidden_dim, self.hidden_dim, 3, name="track_proj_det"
+            )
+            self.track_proj_meta = MLP(
+                self.hidden_dim // 2, self.hidden_dim, 3,
+                name="track_proj_meta",
+            )
 
     def __call__(
         self,
@@ -371,7 +383,9 @@ class KinematicDetectorTransformer(nn.Module):
         targets: Optional[Targets] = None,
         deterministic: bool = True,
     ):
-        det_emb, meta_emb = self.kinet_backbone(batch.detections, batch.metadata)
+        det_emb, meta_emb = self.kinet_backbone(
+            batch.detections, batch.metadata, deterministic
+        )
         b, n, d = det_emb.shape
         pos = sine_detection_encoding(
             batch.pad_mask, d // 2, max_detections=self.max_detections
@@ -433,9 +447,10 @@ class KinematicDetectorTransformer(nn.Module):
             tgt_key_pad_mask=tgt_pad,
             deterministic=deterministic,
         )
-        hs = hs_det + hs_meta
-        logits = self.class_embed(hs)
-        boxes = jax.nn.sigmoid(self.bbox_embed(hs))
+        # reference detr.py:408-409: class head reads the METADATA stream,
+        # box head the DETECTION stream
+        logits = self.class_embed(hs_meta)
+        boxes = jax.nn.sigmoid(self.bbox_embed(hs_det))
         out = {
             "pred_logits": logits[-1],
             "pred_boxes": boxes[-1],
@@ -450,7 +465,7 @@ class KinematicDetectorTransformer(nn.Module):
         if self.aux_loss:
             out["aux_outputs"] = [
                 {"pred_logits": logits[i], "pred_boxes": boxes[i]}
-                for i in range(hs.shape[0] - 1)
+                for i in range(logits.shape[0] - 1)
             ]
         return out
 
@@ -477,7 +492,9 @@ class KinematicDetectorEncoder(nn.Module):
     focal_loss: bool = False
 
     def setup(self):
-        self.kinet_backbone = KinetBackbone(self.hidden_dim)
+        self.kinet_backbone = KinetBackbone(
+            self.hidden_dim, self.dropout, self.activation
+        )
         self.trail_proj = nn.Dense(self.hidden_dim, name="trail_proj")
         self.encoder = DualKinematicEncoder(
             d_model=self.hidden_dim,
@@ -498,7 +515,9 @@ class KinematicDetectorEncoder(nn.Module):
         targets: Optional[Targets] = None,
         deterministic: bool = True,
     ):
-        det_emb, meta_emb = self.kinet_backbone(batch.detections, batch.metadata)
+        det_emb, meta_emb = self.kinet_backbone(
+            batch.detections, batch.metadata, deterministic
+        )
         b, n, d = det_emb.shape
         t = self.num_track_slots
 

@@ -315,21 +315,75 @@ class Transformer(nn.Module):
 
 
 class IntertwinedBranch(nn.Module):
-    """Cross-stream fusion block (reference :470-485): each stream is updated
-    from the other via a linear + add, then both are re-normalised."""
+    """One-directional cross-stream fusion (reference :470-485): src1 is
+    updated from src2 —
+        norm(dropout(act(concat(lin1(src1), lin2(src2)))) + src1).
+    The reference also constructs a `linear2` (d/2 -> d) layer its forward
+    never applies (dead weight) — not replicated here; the importer skips
+    that key."""
 
     d_model: int
+    dropout: float = 0.1
+    activation: str = "relu"
 
     @nn.compact
-    def __call__(self, a, b):
-        a2 = nn.LayerNorm()(a + nn.Dense(self.d_model)(b))
-        b2 = nn.LayerNorm()(b + nn.Dense(self.d_model)(a))
-        return a2, b2
+    def __call__(self, src1, src2, deterministic=True):
+        x1 = nn.Dense(self.d_model // 2, name="linear_input1")(src1)
+        x2 = nn.Dense(self.d_model // 2, name="linear_input2")(src2)
+        act = {"relu": nn.relu, "gelu": nn.gelu, "glu": nn.glu}[
+            self.activation
+        ]
+        x = act(jnp.concatenate([x1, x2], axis=-1))
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.LayerNorm(name="norm")(x + src1)
+
+
+class KinematicTransformer(nn.Module):
+    """Single KineT stream: encoder over the detection sequence + decoder
+    (reference :87-142). Returns (hs [L, B, Q, C], memory [B, N, C])."""
+
+    d_model: int = 288
+    nheads: int = 8
+    num_encoder_layers: int = 1
+    num_decoder_layers: int = 1
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        src,
+        pos,
+        query_pos,
+        tgt=None,
+        src_key_pad_mask=None,
+        tgt_key_pad_mask=None,
+        deterministic=True,
+    ):
+        if tgt is None:
+            tgt = jnp.zeros_like(query_pos)
+        memory = TransformerEncoder(
+            self.num_encoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="encoder",
+        )(src, pos, src_key_pad_mask, deterministic)
+        hs = TransformerDecoder(
+            self.num_decoder_layers, self.d_model, self.nheads,
+            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
+            name="decoder",
+        )(tgt, memory, query_pos, pos, src_key_pad_mask,
+          tgt_key_pad_mask, deterministic)
+        return hs, memory
 
 
 class DualKinematicTransformer(nn.Module):
-    """Two parallel enc-dec streams (boxes / metadata) cross-mixed by
-    IntertwinedBranch after each stage (reference :145-185)."""
+    """Two parallel enc-dec streams (boxes / metadata), fused AFTER the
+    decoders by the IntertwinedBranch pair (reference :145-185): the
+    detection branch is updated from the metadata stream, then the metadata
+    branch from the UPDATED detection stream (reference :183-184). Fusion
+    applies to the full intermediate stack (all decoder layers)."""
 
     d_model: int = 288
     nheads: int = 8
@@ -354,36 +408,27 @@ class DualKinematicTransformer(nn.Module):
         tgt_key_pad_mask=None,
         deterministic=True,
     ):
-        enc_a = TransformerEncoder(
-            self.num_encoder_layers, self.d_model, self.nheads,
-            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
-            name="encoder_det",
-        )(src_det, pos, src_key_pad_mask, deterministic)
-        enc_b = TransformerEncoder(
-            self.num_encoder_layers, self.d_model, self.nheads,
-            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
-            name="encoder_meta",
-        )(src_meta, pos, src_key_pad_mask, deterministic)
-        enc_a, enc_b = IntertwinedBranch(self.d_model, name="fuse_enc")(enc_a, enc_b)
-
-        if tgt_det is None:
-            tgt_det = jnp.zeros_like(query_pos_det)
-        if tgt_meta is None:
-            tgt_meta = jnp.zeros_like(query_pos_meta)
-        hs_a = TransformerDecoder(
-            self.num_decoder_layers, self.d_model, self.nheads,
-            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
-            name="decoder_det",
-        )(tgt_det, enc_a, query_pos_det, pos, src_key_pad_mask,
+        hs_det, mem_det = KinematicTransformer(
+            self.d_model, self.nheads, self.num_encoder_layers,
+            self.num_decoder_layers, self.dim_feedforward, self.dropout,
+            self.activation, self.pre_norm, name="transformer_det",
+        )(src_det, pos, query_pos_det, tgt_det, src_key_pad_mask,
           tgt_key_pad_mask, deterministic)
-        hs_b = TransformerDecoder(
-            self.num_decoder_layers, self.d_model, self.nheads,
-            self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
-            name="decoder_meta",
-        )(tgt_meta, enc_b, query_pos_meta, pos, src_key_pad_mask,
+        hs_meta, mem_meta = KinematicTransformer(
+            self.d_model, self.nheads, self.num_encoder_layers,
+            self.num_decoder_layers, self.dim_feedforward, self.dropout,
+            self.activation, self.pre_norm, name="transformer_metadata",
+        )(src_meta, pos, query_pos_meta, tgt_meta, src_key_pad_mask,
           tgt_key_pad_mask, deterministic)
-        a, b = IntertwinedBranch(self.d_model, name="fuse_dec")(hs_a[-1], hs_b[-1])
-        return hs_a.at[-1].set(a), hs_b.at[-1].set(b), enc_a, enc_b
+        hs_det = IntertwinedBranch(
+            self.d_model, self.dropout, self.activation,
+            name="detection_branch",
+        )(hs_det, hs_meta, deterministic)
+        hs_meta = IntertwinedBranch(
+            self.d_model, self.dropout, self.activation,
+            name="metadata_branch",
+        )(hs_meta, hs_det, deterministic)
+        return hs_det, hs_meta, mem_det, mem_meta
 
 
 class DualKinematicEncoder(nn.Module):
@@ -418,5 +463,14 @@ class DualKinematicEncoder(nn.Module):
             self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
             name="encoder_meta",
         )(src_meta, pos, src_key_pad_mask, deterministic)
-        enc_a, enc_b = IntertwinedBranch(self.d_model, name="fuse")(enc_a, enc_b)
-        return enc_a, enc_b
+        # reference :235-236: the metadata branch reads the ORIGINAL
+        # (pre-fusion) detection memory, unlike the dual transformer
+        fused_det = IntertwinedBranch(
+            self.d_model, self.dropout, self.activation,
+            name="detection_branch",
+        )(enc_a, enc_b, deterministic)
+        fused_meta = IntertwinedBranch(
+            self.d_model, self.dropout, self.activation,
+            name="metadata_branch",
+        )(enc_b, enc_a, deterministic)
+        return fused_det, fused_meta

@@ -33,6 +33,10 @@ def _to_np(v):
 def _set(tree, path, value, strict):
     node = tree
     for k in path[:-1]:
+        if k not in node:
+            if strict:
+                raise KeyError("/".join(path))
+            return False
         node = node[k]
     leaf = path[-1]
     if leaf not in node:
@@ -127,6 +131,62 @@ def import_state_dict(
             else:
                 writes[scope + ("downsample_bn", leaf)] = take(k)
             continue
+        # ---- KineT dual-stream (reference detr.py:288-425) ----
+        m = re.match(
+            r"backbone_(det|metadata)\.0\.layers\.0\.(linear\d|norm)\.(weight|bias)$",
+            k,
+        )
+        if m:
+            stream, mod, leaf = m.groups()
+            scope = (
+                "kinet_backbone",
+                "det_backbone" if stream == "det" else "meta_backbone",
+                mod,
+            )
+            if mod == "norm":
+                writes[scope + ("scale" if leaf == "weight" else "bias",)] = take(k)
+            else:
+                writes[scope + ("kernel" if leaf == "weight" else "bias",)] = (
+                    lin(k) if leaf == "weight" else take(k)
+                )
+            continue
+        if k == "query_embed_det.weight":
+            writes[("query_embed_det",)] = take(k)
+            continue
+        if k == "query_embed_metadata.weight":
+            writes[("query_embed_meta",)] = take(k)
+            continue
+        m = re.match(
+            r"input_proj_tracklets_(det|metadata)\.layers\.(\d)\.(weight|bias)$",
+            k,
+        )
+        if m:
+            stream, i, leaf = m.groups()
+            scope = (
+                "track_proj_det" if stream == "det" else "track_proj_meta",
+                f"layer{i}",
+            )
+            writes[scope + ("kernel" if leaf == "weight" else "bias",)] = (
+                lin(k) if leaf == "weight" else take(k)
+            )
+            continue
+        m = re.match(
+            r"transformer\.(detection|metadata)_branch\."
+            r"(linear_input1|linear_input2|norm)\.(weight|bias)$",
+            k,
+        )
+        if m:
+            branch, mod, leaf = m.groups()
+            scope = ("transformer", f"{branch}_branch", mod)
+            if mod == "norm":
+                writes[scope + ("scale" if leaf == "weight" else "bias",)] = take(k)
+            else:
+                writes[scope + ("kernel" if leaf == "weight" else "bias",)] = (
+                    lin(k) if leaf == "weight" else take(k)
+                )
+            continue
+        # (the reference IntertwinedBranch also owns a `linear2` its forward
+        # never applies — left unmapped on purpose)
         # ---- heads & embeds ----
         if k == "query_embed.weight":
             writes[("query_embed",)] = take(k)
@@ -151,13 +211,18 @@ def import_state_dict(
                 ("bbox_embed", f"layer{i}", "kernel" if leaf == "weight" else "bias")
             ] = lin(k) if leaf == "weight" else take(k)
             continue
-        # ---- transformer layers ----
+        # ---- transformer layers (optionally nested in a KineT stream) ----
         m = re.match(
-            r"transformer\.(encoder|decoder)\.layers\.(\d+)\.(.+)$", k
+            r"transformer\.(?:(transformer_det|transformer_metadata)\.)?"
+            r"(encoder|decoder)\.layers\.(\d+)\.(.+)$",
+            k,
         )
         if m:
-            side, i, rest = m.groups()
-            scope = ("transformer", side, f"layer{i}")
+            stream, side, i, rest = m.groups()
+            scope = ("transformer",) + ((stream,) if stream else ()) + (
+                side, f"layer{i}",
+            )
+            pre = "transformer." + (f"{stream}." if stream else "")
             if rest.startswith("self_attn.") or rest.startswith(
                 "multihead_attn."
             ):
@@ -172,17 +237,17 @@ def import_state_dict(
                         _mha_paths(
                             scope + attn,
                             take(k),
-                            sd[f"transformer.{side}.layers.{i}.{base}.in_proj_bias"],
-                            sd[f"transformer.{side}.layers.{i}.{base}.out_proj.weight"],
-                            sd[f"transformer.{side}.layers.{i}.{base}.out_proj.bias"],
+                            sd[f"{pre}{side}.layers.{i}.{base}.in_proj_bias"],
+                            sd[f"{pre}{side}.layers.{i}.{base}.out_proj.weight"],
+                            sd[f"{pre}{side}.layers.{i}.{base}.out_proj.bias"],
                             nheads,
                         )
                     )
                     used.update(
                         {
-                            f"transformer.{side}.layers.{i}.{base}.in_proj_bias",
-                            f"transformer.{side}.layers.{i}.{base}.out_proj.weight",
-                            f"transformer.{side}.layers.{i}.{base}.out_proj.bias",
+                            f"{pre}{side}.layers.{i}.{base}.in_proj_bias",
+                            f"{pre}{side}.layers.{i}.{base}.out_proj.weight",
+                            f"{pre}{side}.layers.{i}.{base}.out_proj.bias",
                         }
                     )
                 continue
@@ -205,20 +270,29 @@ def import_state_dict(
                     )
                 ] = take(k)
                 continue
-        m = re.match(r"transformer\.decoder\.norm\.(weight|bias)$", k)
+        m = re.match(
+            r"transformer\.(?:(transformer_det|transformer_metadata)\.)?"
+            r"decoder\.norm\.(weight|bias)$",
+            k,
+        )
         if m:
-            leaf = m.group(1)
+            stream, leaf = m.groups()
             writes[
-                ("transformer", "decoder", "norm",
-                 "scale" if leaf == "weight" else "bias")
+                ("transformer",) + ((stream,) if stream else ())
+                + ("decoder", "norm", "scale" if leaf == "weight" else "bias")
             ] = take(k)
             continue
-        m = re.match(r"transformer\.encoder\.norm\.(weight|bias)$", k)
+        m = re.match(
+            r"transformer\.(?:(transformer_det|transformer_metadata)\.)?"
+            r"encoder\.norm\.(weight|bias)$",
+            k,
+        )
         if m:
-            leaf = m.group(1)
+            stream, leaf = m.groups()
             writes[
-                ("transformer", "encoder", "LayerNorm_0",
-                 "scale" if leaf == "weight" else "bias")
+                ("transformer",) + ((stream,) if stream else ())
+                + ("encoder", "LayerNorm_0",
+                   "scale" if leaf == "weight" else "bias")
             ] = take(k)
             continue
 
