@@ -202,6 +202,19 @@ def train(cfg):
                     print("Loss is NaN — stopping (reference engine.py:140-143)")
                     sys.exit(1)
                 logger.update(**scalars)
+                from ..utils import preempt
+
+                if preempt.requested():
+                    # finish the in-flight step, checkpoint, and return —
+                    # the launcher requeues and auto-resumes (reference
+                    # run_with_submitit.py:53-67 checkpoint()+resubmit)
+                    if ckpt is not None:
+                        ckpt.save_epoch(state, epoch, None)
+                        print(
+                            "preemption requested: checkpoint saved at "
+                            f"epoch {epoch}, returning for requeue"
+                        )
+                    return state
                 iter_vis = visualizers["train"].get("iter_metrics")
                 if iter_vis is not None:
                     iter_vis.plot(

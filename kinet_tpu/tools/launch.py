@@ -28,8 +28,19 @@ def main(argv=None):
                    help="host:port of process 0 (multi-host only)")
     p.add_argument("--num-hosts", type=int, default=1)
     p.add_argument("--host-id", type=int, default=None)
+    p.add_argument(
+        "--requeue-on-preempt", action="store_true",
+        help="install SIGTERM/SIGUSR1 handlers: checkpoint mid-epoch and "
+        "re-exec this launcher, which auto-resumes (submitit-requeue "
+        "equivalent, reference run_with_submitit.py:53-67)",
+    )
     p.add_argument("overrides", nargs="*", default=[])
     args = p.parse_args(argv)
+
+    if args.requeue_on_preempt:
+        from ..utils import preempt
+
+        preempt.install()
 
     if args.coordinator:
         import jax
@@ -59,6 +70,21 @@ def main(argv=None):
             cfg = cfg.replace(resume=latest, resume_optim=True)
             print(f"auto-resuming from {latest}")
     train(cfg)
+
+    if args.requeue_on_preempt:
+        import sys
+
+        from ..utils import preempt
+
+        if preempt.requested():
+            # requeue: re-exec this launcher; the auto-resume branch above
+            # picks up the checkpoint the train loop just saved
+            print("requeueing after preemption")
+            os.execv(
+                sys.executable,
+                [sys.executable, "-m", "kinet_tpu.tools.launch"]
+                + (argv if argv is not None else sys.argv[1:]),
+            )
 
 
 if __name__ == "__main__":

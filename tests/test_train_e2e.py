@@ -155,3 +155,34 @@ def test_evaluate_detection(synthetic_mot_coco):
     assert "coco_eval_bbox" in stats and len(stats["coco_eval_bbox"]) == 12
     # untrained model: AP may be ~0, but must be a valid number in [-1, 1]
     assert -1.0 <= stats["coco_eval_bbox"][0] <= 1.0
+
+
+def test_preemption_checkpoints_and_returns(synthetic_mot_coco, tmp_path):
+    """SIGTERM-equivalent preemption (reference run_with_submitit.py:53-67):
+    with the preempt flag raised, the train loop finishes one step, saves
+    a checkpoint, and returns early — the launcher's auto-resume then
+    requeues from it."""
+    from kinet_tpu.utils import preempt
+
+    cfg = load_config("train.yaml", named=["train_tracking"]).replace(
+        dataset="mot",
+        mot_path_train=synthetic_mot_coco,
+        mot_path_val=synthetic_mot_coco,
+        backbone="resnet_test",
+        hidden_dim=32, nheads=2, enc_layers=1, dec_layers=1,
+        dim_feedforward=32, num_queries=8, max_objects=6,
+        max_track_queries=6, dropout=0.0, batch_size=2,
+        epochs=3, num_workers=1, debug=False, val_interval=0,
+        tracking_eval=False, aux_loss=False,
+        output_dir=str(tmp_path / "out"),
+        **{"img_transform.max_size": 128, "img_transform.val_width": 64,
+           "size_buckets": [[64, 96], [96, 128]], "log_interval": 1},
+    )
+    preempt.install()
+    preempt.request()  # preempt before the loop: must stop after step 1
+    try:
+        state = train(cfg)
+    finally:
+        preempt.clear()
+    assert int(state.step) == 1  # stopped mid-epoch, not after 3 epochs
+    assert osp.exists(tmp_path / "out" / "checkpoint")
