@@ -57,7 +57,12 @@ def test_detr_forward_and_loss_and_grad():
         losses = criterion(out, targets)
         return criterion.total_loss(losses), losses
 
-    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    # jit the whole value_and_grad: eager autodiff dispatches op-by-op on
+    # CPU (~137 s for this graph); compiled it is seconds and the compile
+    # persists in the suite's compilation cache
+    (total, losses), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(params)
     assert jnp.isfinite(total)
     for k in ("loss_ce", "loss_bbox", "loss_giou", "cardinality_error"):
         assert k in losses and jnp.isfinite(losses[k]), k
