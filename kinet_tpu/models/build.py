@@ -127,6 +127,7 @@ def build_model(cfg):
             enc_lite=bool(cfg.get("enc_lite", False)),
             enc_lite_klevels=int(cfg.get("enc_lite_klevels", 0)),
             dec_gather_raw=bool(cfg.get("dec_gather_raw", False)),
+            msda_ref_normalizer=bool(cfg.get("msda_ref_normalizer", False)),
             masks=cfg.masks,
             remat=bool(cfg.get("remat", False)),
         )

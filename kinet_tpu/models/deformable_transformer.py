@@ -103,6 +103,12 @@ class MSDeformAttn(nn.Module):
     # per-layer per-head quad value tables, and the layer-invariant raw
     # quad table is CSE'd across decoder layers.
     gather_raw: bool = False
+    # Replicate the fork's swapped offset normalizer: reference
+    # ms_deform_attn.py:78-79 divides 2-dim-reference offsets by
+    # input_spatial_shapes, which is (H, W) — upstream Deformable-DETR
+    # uses (W, H). We default to the upstream-correct order; checkpoints
+    # TRAINED with the fork need this flag for bit-faithful inference.
+    ref_normalizer: bool = False
 
     @nn.compact
     def __call__(
@@ -150,8 +156,10 @@ class MSDeformAttn(nn.Module):
             attn = jnp.where(query_mask[:, :, None, None, None], 0.0, attn)
 
         wh = jnp.asarray(
-            [(w, h) for h, w in spatial_shapes], jnp.float32
-        )  # (W, H) normalizer — upstream-correct order
+            [(h, w) if self.ref_normalizer else (w, h)
+             for h, w in spatial_shapes],
+            jnp.float32,
+        )  # (W, H) normalizer — upstream-correct order (see ref_normalizer)
         if reference_points.shape[-1] == 2:
             loc = (
                 reference_points[:, :, None, :, None, :]
@@ -240,6 +248,7 @@ class DeformableEncoderLayer(nn.Module):
     shared_locs: bool = False
     top_k: int = 0
     int8_values: bool = False
+    ref_normalizer: bool = False
 
     @nn.compact
     def __call__(
@@ -253,6 +262,7 @@ class DeformableEncoderLayer(nn.Module):
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             shared_locs=self.shared_locs, top_k=self.top_k,
             int8_values=self.int8_values,
+            ref_normalizer=self.ref_normalizer,
             name="self_attn",
         )(
             q, reference_points,
@@ -313,6 +323,7 @@ class DeformableEncoder(nn.Module):
     # dropping sampled levels cuts its rows proportionally; the coarse
     # levels it stops seeing were themselves refreshed from level-0 values.
     lite_low_klevels: int = 0
+    ref_normalizer: bool = False
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM during
     # training — the encoder activations at 800px are the memory peak)
 
@@ -344,6 +355,7 @@ class DeformableEncoder(nn.Module):
                 self.n_points,
                 shared_locs=self.shared_locs, top_k=self.top_k,
                 int8_values=self.int8_values,
+                ref_normalizer=self.ref_normalizer,
                 name=f"layer{i}",
             )
             if self.lite and i < self.num_layers - 1 and len(spatial_shapes) > 1:
@@ -385,6 +397,7 @@ class DeformableDecoderLayer(nn.Module):
     n_heads: int
     n_points: int
     gather_raw: bool = False  # cross-attn via gather-then-project
+    ref_normalizer: bool = False
 
     @nn.compact
     def __call__(
@@ -408,6 +421,7 @@ class DeformableDecoderLayer(nn.Module):
         tgt2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             gather_raw=self.gather_raw,
+            ref_normalizer=self.ref_normalizer,
             name="cross_attn",
         )(
             tgt + query_pos if query_pos is not None else tgt,
@@ -438,6 +452,7 @@ class DeformableDecoder(nn.Module):
     n_heads: int
     n_points: int
     gather_raw: bool = False
+    ref_normalizer: bool = False
 
     @nn.compact
     def __call__(
@@ -458,7 +473,8 @@ class DeformableDecoder(nn.Module):
             output = DeformableDecoderLayer(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
                 self.n_levels, self.n_heads, self.n_points,
-                gather_raw=self.gather_raw, name=f"layer{i}",
+                gather_raw=self.gather_raw,
+                ref_normalizer=self.ref_normalizer, name=f"layer{i}",
             )(
                 output, query_pos, ref_input, src, spatial_shapes,
                 src_padding_mask, query_pad_mask, deterministic, src_quad,
@@ -529,6 +545,7 @@ class DeformableTransformer(nn.Module):
     enc_lite: bool = False  # Lite-DETR interleaved high-level update
     enc_lite_klevels: int = 0  # low-level update: sample k finest levels
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
+    msda_ref_normalizer: bool = False  # fork (H, W) offset normalizer
     remat: bool = False
 
     def setup(self):
@@ -541,12 +558,14 @@ class DeformableTransformer(nn.Module):
             self.enc_n_points, shared_locs=self.enc_shared_locs,
             top_k=self.enc_topk, int8_values=self.enc_int8,
             lite=self.enc_lite, lite_low_klevels=self.enc_lite_klevels,
+            ref_normalizer=self.msda_ref_normalizer,
             remat=self.remat,
         )
         self.decoder = DeformableDecoder(
             self.num_decoder_layers, self.d_model, self.dim_feedforward,
             self.dropout, self.activation, self.num_feature_levels,
             self.nheads, self.dec_n_points, gather_raw=self.dec_gather_raw,
+            ref_normalizer=self.msda_ref_normalizer,
         )
         self.level_embed = self.param(
             "level_embed",

@@ -86,6 +86,16 @@ def import_state_dict(
     sd = {k: _to_np(v) for k, v in state_dict.items()}
     used = set()
     missed = []
+    # deformable checkpoints: decoder-layer norm numbering differs from the
+    # vanilla transformer (reference deformable_transformer.py:333-355:
+    # norm2 follows self-attn, norm1 follows cross-attn, norm3 the ffn;
+    # our flax modules create LayerNorms in call order)
+    deformable = any("sampling_offsets" in k for k in sd)
+    dec_norm_map = (
+        {"1": "LayerNorm_1", "2": "LayerNorm_0", "3": "LayerNorm_2"}
+        if deformable
+        else None
+    )
 
     def take(k):
         used.add(k)
@@ -211,6 +221,52 @@ def import_state_dict(
                 ("bbox_embed", f"layer{i}", "kernel" if leaf == "weight" else "bias")
             ] = lin(k) if leaf == "weight" else take(k)
             continue
+        # ---- deformable-DETR specifics ----
+        m = re.match(r"input_proj\.(\d+)\.(0|1)\.(weight|bias)$", k)
+        if m:
+            i, sub, leaf = m.groups()
+            if sub == "0":  # 1x1 (or 3x3 extra-level) conv
+                writes[(f"input_proj{i}", "kernel" if leaf == "weight" else "bias")] = (
+                    conv(k) if leaf == "weight" else take(k)
+                )
+            else:  # GroupNorm
+                writes[
+                    (f"input_proj_gn{i}",
+                     "scale" if leaf == "weight" else "bias")
+                ] = take(k)
+            continue
+        if k == "transformer.level_embed":
+            writes[("transformer", "level_embed")] = take(k)
+            continue
+        m = re.match(r"transformer\.reference_points\.(weight|bias)$", k)
+        if m:
+            leaf = m.group(1)
+            writes[
+                ("transformer", "reference_points_head",
+                 "kernel" if leaf == "weight" else "bias")
+            ] = lin(k) if leaf == "weight" else take(k)
+            continue
+        # per-decoder-layer heads (ModuleLists; with refine distinct, else
+        # the reference repeats one shared instance — map index 0 to our
+        # shared module as well, the non-strict writer picks what exists)
+        m = re.match(r"class_embed\.(\d+)\.(weight|bias)$", k)
+        if m:
+            i, leaf = m.groups()
+            val = lin(k) if leaf == "weight" else take(k)
+            suffix = ("kernel" if leaf == "weight" else "bias",)
+            writes[(f"class_embed{i}",) + suffix] = val
+            if i == "0":
+                writes[("class_embed",) + suffix] = val
+            continue
+        m = re.match(r"bbox_embed\.(\d+)\.layers\.(\d)\.(weight|bias)$", k)
+        if m:
+            i, j, leaf = m.groups()
+            val = lin(k) if leaf == "weight" else take(k)
+            suffix = (f"layer{j}", "kernel" if leaf == "weight" else "bias")
+            writes[(f"bbox_embed{i}",) + suffix] = val
+            if i == "0":
+                writes[("bbox_embed",) + suffix] = val
+            continue
         # ---- transformer layers (optionally nested in a KineT stream) ----
         m = re.match(
             r"transformer\.(?:(transformer_det|transformer_metadata)\.)?"
@@ -223,6 +279,21 @@ def import_state_dict(
                 side, f"layer{i}",
             )
             pre = "transformer." + (f"{stream}." if stream else "")
+            # MSDeformAttn sub-linears (deformable enc self_attn / dec
+            # cross_attn; reference ops/modules/ms_deform_attn.py:28-33)
+            m2 = re.match(
+                r"(self_attn|cross_attn)\."
+                r"(sampling_offsets|attention_weights|value_proj|output_proj)"
+                r"\.(weight|bias)$",
+                rest,
+            )
+            if m2:
+                attn_name, mod, leaf = m2.groups()
+                writes[
+                    scope + (attn_name, mod,
+                             "kernel" if leaf == "weight" else "bias")
+                ] = lin(k) if leaf == "weight" else take(k)
+                continue
             if rest.startswith("self_attn.") or rest.startswith(
                 "multihead_attn."
             ):
@@ -233,16 +304,18 @@ def import_state_dict(
                 )
                 base = rest.split(".", 1)[0]
                 if rest.endswith("in_proj_weight"):
-                    writes.update(
-                        _mha_paths(
-                            scope + attn,
-                            take(k),
-                            sd[f"{pre}{side}.layers.{i}.{base}.in_proj_bias"],
-                            sd[f"{pre}{side}.layers.{i}.{base}.out_proj.weight"],
-                            sd[f"{pre}{side}.layers.{i}.{base}.out_proj.bias"],
-                            nheads,
-                        )
+                    mha_args = (
+                        take(k),
+                        sd[f"{pre}{side}.layers.{i}.{base}.in_proj_bias"],
+                        sd[f"{pre}{side}.layers.{i}.{base}.out_proj.weight"],
+                        sd[f"{pre}{side}.layers.{i}.{base}.out_proj.bias"],
+                        nheads,
                     )
+                    writes.update(_mha_paths(scope + attn, *mha_args))
+                    # deformable decoder names its MHA "self_attn" directly
+                    # (no block wrapper); the non-strict writer skips
+                    # whichever layout the target tree lacks
+                    writes.update(_mha_paths(scope + (base,), *mha_args))
                     used.update(
                         {
                             f"{pre}{side}.layers.{i}.{base}.in_proj_bias",
@@ -262,12 +335,12 @@ def import_state_dict(
             m2 = re.match(r"norm(\d)\.(weight|bias)$", rest)
             if m2:
                 n, leaf = m2.groups()
+                if side == "decoder" and dec_norm_map is not None:
+                    ln = dec_norm_map[n]
+                else:
+                    ln = f"LayerNorm_{int(n) - 1}"
                 writes[
-                    scope
-                    + (
-                        f"LayerNorm_{int(n) - 1}",
-                        "scale" if leaf == "weight" else "bias",
-                    )
+                    scope + (ln, "scale" if leaf == "weight" else "bias")
                 ] = take(k)
                 continue
         m = re.match(
