@@ -238,6 +238,24 @@ def import_state_dict(
         if k == "transformer.level_embed":
             writes[("transformer", "level_embed")] = take(k)
             continue
+        # two-stage heads (reference deformable_transformer.py:52-56)
+        m = re.match(
+            r"transformer\.(enc_output|pos_trans)(_norm)?\.(weight|bias)$", k
+        )
+        if m:
+            mod, is_norm, leaf = m.groups()
+            name = mod + (is_norm or "")
+            if is_norm:
+                writes[
+                    ("transformer", name,
+                     "scale" if leaf == "weight" else "bias")
+                ] = take(k)
+            else:
+                writes[
+                    ("transformer", name,
+                     "kernel" if leaf == "weight" else "bias")
+                ] = lin(k) if leaf == "weight" else take(k)
+            continue
         m = re.match(r"transformer\.reference_points\.(weight|bias)$", k)
         if m:
             leaf = m.group(1)

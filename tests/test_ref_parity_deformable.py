@@ -165,3 +165,128 @@ def test_deformable_transformer_parity():
 
 def test_deformable_transformer_parity_box_refine():
     _run_parity(with_box_refine=True)
+
+
+def test_deformable_transformer_two_stage_parity():
+    """Two-stage path (reference :52-56, 77-122, 180-194): proposal grid,
+    enc output heads, top-k selection, pos_trans query synthesis, plus
+    per-layer box refinement (the fork's two-stage requires refine — the
+    proposal block reads decoder.bbox_embed[num_layers],
+    deformable_detr.py:95-113).
+
+    No padded rows in this test: the fork top-ks raw class scores, so
+    padded/border rows all carry the identical bias-only score of the
+    zeroed memory — a degenerate tie we deliberately exclude by masking
+    scores to -inf (evident intent; behavior is identical whenever real
+    rows outscore the constant)."""
+    _patch_msda_to_pytorch_core()
+    from trackformer.models.deformable_transformer import (
+        DeformableTransformer as RefTransformer,
+    )
+
+    from kinet_tpu.models.deformable_transformer import DeformableTransformer
+    from kinet_tpu.models.detr import MLP
+    from kinet_tpu.tools.import_torch_weights import import_state_dict
+
+    # d=256 is forced: the reference get_proposal_pos_embed hardcodes 128
+    # pos-feats per box coordinate (4*128 = 2*d_model only at d=256)
+    d, heads, ff, topk = 256, 8, 64, 5
+    shapes = ((8, 12), (4, 6))
+    n_dec = 2
+    ref = RefTransformer(
+        d_model=d, nhead=heads, num_encoder_layers=2, num_decoder_layers=n_dec,
+        dim_feedforward=ff, dropout=0.0, activation="relu",
+        num_feature_levels=len(shapes), dec_n_points=2, enc_n_points=2,
+        two_stage=True, two_stage_num_proposals=topk,
+        return_intermediate_dec=True,
+    ).eval()
+
+    # refine + enc heads, index num_layers = the proposal head
+    t_cls = torch.nn.ModuleList(
+        [torch.nn.Linear(d, 1) for _ in range(n_dec + 1)]
+    ).eval()
+    t_box = torch.nn.ModuleList(
+        [_torch_mlp(d, 4) for _ in range(n_dec + 1)]
+    ).eval()
+    ref.decoder.class_embed = t_cls
+    ref.decoder.bbox_embed = t_box
+
+    ours = DeformableTransformer(
+        d_model=d, nheads=heads, num_encoder_layers=2, num_decoder_layers=n_dec,
+        dim_feedforward=ff, dropout=0.0, activation="relu",
+        num_feature_levels=len(shapes), dec_n_points=2, enc_n_points=2,
+        two_stage=True, two_stage_num_proposals=topk,
+        msda_ref_normalizer=True,
+    )
+
+    b = 2
+    srcs, masks, pos, _ = _make_inputs(b, d, shapes, 1)
+    masks = [np.zeros_like(m) for m in masks]  # no padding (see docstring)
+    j_srcs = [jnp.asarray(s) for s in srcs]
+    j_masks = [jnp.asarray(m) for m in masks]
+    j_pos = [jnp.asarray(p) for p in pos]
+
+    import flax.linen as fnn
+
+    cls_mod = fnn.Dense(1)
+    box_mod = MLP(d, 4, 3)
+
+    def cls_fn(i):
+        p = {
+            "kernel": jnp.asarray(t2n(t_cls[i].weight).T),
+            "bias": jnp.asarray(t2n(t_cls[i].bias)),
+        }
+        return lambda x: cls_mod.apply({"params": p}, x)
+
+    def box_fn(i):
+        p = _mlp_params_from_torch(t_box[i])
+        return lambda x: box_mod.apply({"params": p}, x)
+
+    kwargs = dict(
+        class_embed_fn=cls_fn(n_dec),
+        bbox_embed_fn=box_fn(n_dec),
+        bbox_embed_fns=[box_fn(i) for i in range(n_dec)],
+    )
+    variables = ours.init(jax.random.PRNGKey(0), j_srcs, j_masks, j_pos, **kwargs)
+    new, info = import_state_dict(
+        {f"transformer.{k}": v for k, v in ref.state_dict().items()},
+        {"params": {"transformer": variables["params"]}},
+        nheads=heads,
+    )
+    left = [
+        k for k in info["unmapped"]
+        if ".decoder.bbox_embed." not in k and ".decoder.class_embed." not in k
+    ]
+    assert left == [], left
+    params = {"params": new["params"]["transformer"]}
+
+    hs, memory, init_ref, inter_refs, enc_cls, enc_coord, _, _ = ours.apply(
+        params, j_srcs, j_masks, j_pos, **kwargs
+    )
+
+    t_srcs = [torch.from_numpy(s.transpose(0, 3, 1, 2)) for s in srcs]
+    t_pos = [torch.from_numpy(p.transpose(0, 3, 1, 2)) for p in pos]
+    t_masks = [torch.from_numpy(m) for m in masks]
+    with torch.no_grad():
+        r_hs, r_mem, r_init, r_inter, r_cls, r_coord = ref(
+            t_srcs, t_masks, t_pos, None
+        )
+    np.testing.assert_allclose(
+        np.asarray(memory), t2n(r_mem), rtol=1e-4, atol=1e-4
+    )
+    ours_coord = np.asarray(enc_coord)
+    ref_coord = t2n(r_coord)
+    finite = np.isfinite(ref_coord)
+    assert (np.isfinite(ours_coord) == finite).all()
+    np.testing.assert_allclose(
+        ours_coord[finite], ref_coord[finite], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(init_ref), t2n(r_init), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(inter_refs), t2n(r_inter), rtol=1e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hs), t2n(r_hs), rtol=1e-4, atol=2e-4
+    )
