@@ -42,7 +42,11 @@ class MHAttentionMap(nn.Module):
             logits = jnp.where(
                 pad_mask.reshape(b, 1, 1, h * w), -1e9, logits
             )
-        attn = jax.nn.softmax(logits, axis=-1)
+        # reference :214: softmax over heads AND positions JOINTLY
+        # (weights.flatten(2)) — not per-head
+        attn = jax.nn.softmax(
+            logits.reshape(b, nq, self.num_heads * h * w), axis=-1
+        )
         return attn.reshape(b, nq, self.num_heads, h, w)
 
 

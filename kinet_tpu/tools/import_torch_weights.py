@@ -221,6 +221,28 @@ def import_state_dict(
                 ("bbox_embed", f"layer{i}", "kernel" if leaf == "weight" else "bias")
             ] = lin(k) if leaf == "weight" else take(k)
             continue
+        # ---- segmentation heads (reference detr_segmentation.py) ----
+        m = re.match(r"bbox_attention\.(q_linear|k_linear)\.(weight|bias)$", k)
+        if m:
+            mod, leaf = m.groups()
+            writes[
+                ("bbox_attention", mod,
+                 "kernel" if leaf == "weight" else "bias")
+            ] = lin(k) if leaf == "weight" else take(k)
+            continue
+        m = re.match(r"mask_head\.(lay\d|adapter\d|out_lay|gn\d)\.(weight|bias)$", k)
+        if m:
+            mod, leaf = m.groups()
+            if mod.startswith("gn"):
+                writes[
+                    ("mask_head", mod, "scale" if leaf == "weight" else "bias")
+                ] = take(k)
+            else:
+                writes[
+                    ("mask_head", mod,
+                     "kernel" if leaf == "weight" else "bias")
+                ] = conv(k) if leaf == "weight" else take(k)
+            continue
         # ---- deformable-DETR specifics ----
         m = re.match(r"input_proj\.(\d+)\.(0|1)\.(weight|bias)$", k)
         if m:
