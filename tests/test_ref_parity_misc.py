@@ -229,3 +229,69 @@ def test_dual_kinematic_encoder_parity():
     np.testing.assert_allclose(
         np.asarray(out_meta), t2n(r_meta)[0], rtol=1e-4, atol=1e-4
     )
+
+
+def test_mask_loss_parity():
+    """dice + sigmoid-focal mask losses (reference util/misc.py:616-665)."""
+    from trackformer.util.misc import (
+        dice_loss as ref_dice,
+        sigmoid_focal_loss as ref_focal,
+    )
+
+    from kinet_tpu.models.criterion import dice_loss, sigmoid_focal_loss
+
+    rng = np.random.default_rng(4)
+    n, hw = 6, 64
+    logits = rng.normal(size=(n, hw)).astype(np.float32)
+    targets = (rng.uniform(size=(n, hw)) > 0.6).astype(np.float32)
+    num_boxes = 4.0
+
+    r_dice = float(ref_dice(
+        torch.from_numpy(logits), torch.from_numpy(targets), num_boxes
+    ))
+    o_dice = float(dice_loss(
+        jnp.asarray(logits), jnp.asarray(targets), num_boxes,
+        jnp.ones((n,), bool),
+    ))
+    np.testing.assert_allclose(o_dice, r_dice, rtol=1e-5)
+
+    r_focal = float(ref_focal(
+        torch.from_numpy(logits), torch.from_numpy(targets), num_boxes
+    ))
+    # ours returns the elementwise loss; reference reduces mean(1).sum()/nb
+    o_focal = float(
+        jnp.sum(jnp.mean(
+            sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)),
+            axis=1,
+        )) / num_boxes
+    )
+    np.testing.assert_allclose(o_focal, r_focal, rtol=1e-5)
+
+
+def test_basic_box_matcher_parity():
+    """KineT detection-GT matcher (reference BasicBoxHungarianMatcher,
+    matcher.py:13-81): same LSAP assignment on the same boxes (cost weights
+    differ by a common factor — the argmin is invariant)."""
+    from trackformer.models.matcher import BasicBoxHungarianMatcher
+
+    from kinet_tpu.models.matcher import box_match
+
+    rng = np.random.default_rng(5)
+    n_det, n_gt = 8, 5
+    dets = rng.uniform(0.2, 0.8, size=(n_det, 5)).astype(np.float32)
+    dets[:, 2:4] = rng.uniform(0.05, 0.2, size=(n_det, 2))
+    gt = rng.uniform(0.2, 0.8, size=(n_gt, 4)).astype(np.float32)
+    gt[:, 2:] = rng.uniform(0.05, 0.2, size=(n_gt, 2))
+
+    ref = BasicBoxHungarianMatcher(cost_class=1, cost_bbox=2, cost_giou=2)
+    t_idx, d_idx = ref(
+        torch.from_numpy(dets),
+        {"labels": torch.zeros(n_gt, dtype=torch.long),
+         "boxes": torch.from_numpy(gt)},
+    )
+    det4gt = np.asarray(box_match(
+        jnp.asarray(dets[None, :, :4]), jnp.ones((1, n_det), bool),
+        jnp.asarray(gt[None]), jnp.ones((1, n_gt), bool),
+    ))[0]
+    for t, d in zip(t2n(t_idx), t2n(d_idx)):
+        assert det4gt[t] == d, (det4gt, t2n(t_idx), t2n(d_idx))
