@@ -91,13 +91,18 @@ def main():
     log(f"compile + first step: {time.perf_counter() - t0:.1f}s "
         f"loss={first_loss:.3f}")
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, losses = step(
-            state, rng, batch, targets, prev_batch, prev_targets
-        )
-    fetch(state)
-    dt = time.perf_counter() - t0
+    # best-of-3: the remote-tunnel dispatch rate occasionally degrades an
+    # order of magnitude for a stretch (observed 0.47 vs 5.5 steps/s on
+    # back-to-back runs); min time is the stable estimator
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, losses = step(
+                state, rng, batch, targets, prev_batch, prev_targets
+            )
+        fetch(state)
+        dt = min(dt, time.perf_counter() - t0)
     sps = ITERS / dt
     log(f"final loss: {float(losses['loss']):.3f}")
 
