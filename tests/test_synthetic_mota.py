@@ -78,13 +78,20 @@ def test_overfit_then_track_scores_mota(synthetic_seq, tmp_path):
     from kinet_tpu.utils.checkpoint import CheckpointManager
 
     root, seq = synthetic_seq
-    # deformable: the stride-8 pyramid level localizes on 64x96 synthetic
-    # frames (vanilla DETR's single stride-32 map is 2x3 cells here)
+    # the FLAGSHIP config family at tiny scale (deformable + tracking +
+    # multi-frame): exercises the whole perf surface — separate-encoder
+    # caching, Lite-DETR interleaved update + enc_lite_klevels, quad/pos
+    # caches, dec_gather_raw — through training AND the cached tracker
+    # loop, scored end-to-end. The stride-8 pyramid level localizes on
+    # 64x96 synthetic frames (vanilla DETR's single stride-32 map is 2x3
+    # cells here); hidden 36 = the smallest multiple of 3 the 3D
+    # multi-frame encoding accepts with 2 heads.
     cfg = load_config(
-        "train.yaml", named=["train_deformable", "train_tracking"]
+        "train.yaml",
+        named=["train_deformable", "train_tracking", "train_multi_frame"],
     ).replace(
-        dataset="mot", backbone="resnet_test", hidden_dim=32, nheads=2,
-        enc_layers=1, dec_layers=2, dim_feedforward=64, num_queries=8,
+        dataset="mot", backbone="resnet_test", hidden_dim=36, nheads=2,
+        enc_layers=2, dec_layers=2, dim_feedforward=64, num_queries=8,
         max_track_queries=8, dropout=0.0, aux_loss=False,
         num_feature_levels=4, dec_n_points=2, enc_n_points=2,
         with_box_refine=False,
@@ -121,7 +128,7 @@ def test_overfit_then_track_scores_mota(synthetic_seq, tmp_path):
             jnp.zeros((1, 2), jnp.int32),
             jnp.ones((1, 2), bool),
             track_ids=jnp.asarray([[1, 2]], jnp.int32),
-            num_track_queries=8, hidden_dim=32,
+            num_track_queries=8, hidden_dim=36,
         )
         return batch, targets
 
