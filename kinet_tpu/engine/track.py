@@ -50,6 +50,43 @@ def interpolate_tracks(tracks: dict) -> dict:
     return out
 
 
+class _Prefetcher:
+    """Single-worker look-ahead frame loader: decodes + preprocesses frame
+    i+1 on a thread while the tracker steps frame i, overlapping host IO
+    with device compute (the reference gets the same overlap from its
+    torch DataLoader workers, track.py:136-137). Worker exceptions are
+    re-raised in the consumer."""
+
+    def __init__(self, seq, start: int, end: int, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._exc = None
+        self._t = threading.Thread(
+            target=self._work, args=(seq, start, end), daemon=True
+        )
+        self._t.start()
+
+    def _work(self, seq, start, end):
+        try:
+            for i in range(start, end):
+                self._q.put(seq[i])
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            self._exc = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            blob = self._q.get()
+            if blob is None:
+                if self._exc is not None:
+                    raise self._exc
+                return
+            yield blob
+
+
 def main_track(cfg, obj_detector_model=None):
     seed = int(cfg.get("seed", 333))
     np.random.seed(seed)
@@ -140,8 +177,7 @@ def main_track(cfg, obj_detector_model=None):
             results = seq.load_results(cfg.load_results_dir)
         kinet_mode = cfg.get("kinet", False) or train_cfg.get("kine", False)
         if not results:
-            for i in range(start_frame, end_frame):
-                blob = seq[i]
+            for blob in _Prefetcher(seq, start_frame, end_frame):
                 if kinet_mode:
                     # adapt image-sequence blobs to kinematic input
                     # (≙ TrackDatasetFactoryKinet/get_sub_dataset intent,
