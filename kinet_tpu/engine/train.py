@@ -130,12 +130,6 @@ def train(cfg):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params / 1e6:.2f}M", flush=True)
 
-    tx = build_optimizer(cfg, params, steps_per_epoch)
-    params, opt_state, start_epoch = load_for_resume(cfg, params, tx)
-    state = TrainState.create(params, tx)
-    if opt_state is not None:
-        state = state.replace(opt_state=opt_state)
-
     n_model = int(cfg.mesh.model)
     n_data = int(cfg.mesh.data)
     if n_data == -1:
@@ -147,7 +141,27 @@ def train(cfg):
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     repl = replicated(mesh)
     dsh = data_sharding(mesh)
-    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+    tx = build_optimizer(cfg, params, steps_per_epoch)
+    params, opt_state, start_epoch = load_for_resume(cfg, params, tx)
+    if n_model > 1:
+        # tensor parallelism over the 'model' axis: Megatron-style weight
+        # shardings; sharded BEFORE TrainState.create so the optimizer
+        # moments (zeros_like) inherit the layout, and XLA/GSPMD inserts
+        # the activation collectives inside the jitted step
+        from ..parallel.tp import shard_params_tp
+
+        params = shard_params_tp(params, mesh)
+    else:
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), params
+        )
+    state = TrainState.create(params, tx)
+    if opt_state is not None:
+        state = state.replace(opt_state=opt_state)
+    state = state.replace(
+        step=jax.device_put(state.step, repl)
+    )
 
     if kine:
         from .train_step import make_kine_train_step

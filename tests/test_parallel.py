@@ -62,3 +62,89 @@ def test_optimizer_param_groups():
                 not any(s in p.split("/") for s in ("bn1", "bn2", "bn3"))
                 for p in paths
             ), lab
+
+
+def test_tensor_parallel_train_step():
+    """DP x TP on a 4x2 mesh: Megatron-style weight shardings via GSPMD
+    (parallel/tp.py) — the train step must compile, run, and produce the
+    SAME loss as the replicated run (shardings are layout, not math)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kinet_tpu.config import load_config
+    from kinet_tpu.engine.state import TrainState, build_optimizer
+    from kinet_tpu.engine.train_step import make_train_step
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.parallel.mesh import make_mesh
+    from kinet_tpu.parallel.tp import shard_params_tp, tp_partition_specs
+    from kinet_tpu.structs import ImageBatch, Targets
+
+    cfg = load_config(
+        "train.yaml", named=["train_deformable", "train_tracking"]
+    ).replace(
+        dataset="mot", backbone="resnet_test", hidden_dim=32, nheads=2,
+        enc_layers=1, dec_layers=1, dim_feedforward=64, num_queries=8,
+        max_track_queries=8, dropout=0.0, aux_loss=False,
+        num_feature_levels=2, dec_n_points=2, enc_n_points=2,
+        with_box_refine=False,
+    )
+    model, criterion, _ = build_model(cfg)
+    b = 4
+    batch = ImageBatch(
+        images=jax.random.normal(jax.random.PRNGKey(0), (b, 64, 64, 3)),
+        pad_mask=jnp.zeros((b, 64, 64), bool),
+    )
+    # DISTINCT target boxes: identical boxes make every matcher cost a
+    # tie, and TP's reduction reorder flips the tie-break (loss then
+    # differs by the assignment, not the math)
+    boxes = jnp.asarray(
+        [[[0.3, 0.3, 0.2, 0.2], [0.7, 0.6, 0.15, 0.25]]] * b
+    )
+    targets = Targets.create(
+        boxes, jnp.zeros((b, 2), jnp.int32),
+        jnp.ones((b, 2), bool), num_track_queries=8, hidden_dim=32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+
+    # some weights must actually be sharded over 'model'
+    mesh = make_mesh(n_data=4, n_model=2)
+    specs = tp_partition_specs(params["params"], 2)
+    sharded_specs = [
+        s for s in jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: isinstance(x, P)
+        ) if s != P()
+    ]
+    assert len(sharded_specs) > 20, len(sharded_specs)
+
+    def run(mesh_):
+        p = (
+            shard_params_tp(params, mesh_)
+            if mesh_.shape["model"] > 1
+            else jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh_, P())),
+                params,
+            )
+        )
+        dsh = NamedSharding(mesh_, P("data"))
+        sh = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dsh), t
+        )
+        with mesh_:
+            out = jax.jit(model.apply)(p, sh(batch), sh(targets))
+            tx = build_optimizer(cfg, p, steps_per_epoch=100)
+            state = TrainState.create(p, tx)
+            step = make_train_step(model, criterion, tx, cfg)
+            state, losses = step(
+                state, jax.random.PRNGKey(2), sh(batch), sh(targets),
+                sh(batch), sh(targets),
+            )
+        return np.asarray(out["pred_logits"]), float(losses["loss"])
+
+    logits_tp, loss_tp = run(mesh)
+    logits_dp, loss_dp = run(make_mesh(n_data=4, n_model=1))
+    # the hard guarantee: shardings are layout, not math — the forward is
+    # equal to float-reorder noise
+    np.testing.assert_allclose(logits_tp, logits_dp, atol=2e-5)
+    # the full train step includes the Hungarian matcher: ~1e-6 logit
+    # reorder noise can flip near-tied assignments at init, shifting the
+    # loss by O(1e-3) relative — assert at that granularity
+    np.testing.assert_allclose(loss_tp, loss_dp, rtol=5e-3)
