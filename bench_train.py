@@ -44,9 +44,11 @@ def main():
     ).replace(dataset="mot", compute_dtype="bfloat16", remat=True)
     model, criterion, _ = build_model(cfg)
 
-    # batch 1 default: batch 2 fits since the custom-VJP MSDA backward but
-    # runs memory-pressured (~5x slower/step on one v5e chip); the reference
-    # uses batch 2 x 7 GPUs (docs/TRAIN.md:119) — scale via DP instead
+    # batch 1 default. Per-image throughput is flat in batch size on one
+    # v5e chip (B1 5.5 / B2 5.3 / B4 4.9 img/s measured after this
+    # round's forward+backward work — the old 5x memory-pressure cliff at
+    # B2 is gone); the reference uses batch 2 x 7 GPUs (docs/TRAIN.md:119)
+    # — scale via the data mesh axis instead
     b = int(__import__("os").environ.get("BT_BATCH", "1"))
     h, w, n_obj = 672, 1184, 20  # ≙ reference train max_size 666
     t = int(cfg.max_track_queries)
