@@ -535,7 +535,7 @@ def ms_deform_attn_raw_pool(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,  # [B, Lq, M, L, P, 2]
     attention_weights: jnp.ndarray,  # [B, Lq, M, L, P]
-    src_quad: jnp.ndarray = None,  # optional prebuilt quad table [B, S, 4C]
+    src_quad: jnp.ndarray | None = None,  # prebuilt quad table [B, S, 4C]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-then-project formulation, pooling stage: bilinear-sample RAW
     src rows (before the value projection) and reduce over samples/corners.
