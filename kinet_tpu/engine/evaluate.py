@@ -79,8 +79,14 @@ def evaluate(model, criterion, postprocessors, params, dataset_val, cfg):
         from ..config import load_config
         from .track import main_track
 
+        overrides = {}
+        if cfg.get("tracking_eval_dataset"):
+            # e.g. 'MOT17-TRAIN-ALL' or a single sequence; the track.yaml
+            # default (MOT17-ALL-ALL) requires every standard sequence dir
+            # to exist under mot_path_val
+            overrides["dataset_name"] = cfg.tracking_eval_dataset
         track_cfg = load_config("track.yaml").replace(
-            data_root_dir=cfg.mot_path_val, output_dir=""
+            data_root_dir=cfg.mot_path_val, output_dir="", **overrides
         )
         summary = main_track(
             track_cfg,

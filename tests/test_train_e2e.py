@@ -186,3 +186,83 @@ def test_preemption_checkpoints_and_returns(synthetic_mot_coco, tmp_path):
         preempt.clear()
     assert int(state.step) == 1  # stopped mid-epoch, not after 3 epochs
     assert osp.exists(tmp_path / "out" / "checkpoint")
+
+
+def test_evaluate_with_tracking_eval(synthetic_mot_coco):
+    """The in-process during-training tracking eval (reference
+    engine.py:288-344 — broken upstream via the commented-out `ex` import,
+    SURVEY §8.2; implemented as intended here): evaluate() runs a track
+    session on mot_path_val with the live model and reports MOTA/IDF1."""
+    import configparser
+
+    import jax
+    import jax.numpy as jnp
+
+    from kinet_tpu.data import build_dataset
+    from kinet_tpu.engine.evaluate import evaluate
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.structs import ImageBatch, Targets
+
+    # a MOT17 sequence dir next to the COCO annotations (same frames)
+    root = synthetic_mot_coco
+    seq_dir = osp.join(root, "MOT17", "train", "MOT17-05-FRCNN")
+    if not osp.exists(seq_dir):
+        import shutil
+
+        for d in ("img1", "gt", "det"):
+            os_makedirs = __import__("os").makedirs
+            os_makedirs(osp.join(seq_dir, d), exist_ok=True)
+        __import__("os").makedirs(
+            osp.join(root, "MOT17", "test"), exist_ok=True
+        )
+        gt_lines, det_lines = [], []
+        for f in range(6):
+            shutil.copy(
+                osp.join(root, "train", f"SEQ-01_{f + 1:06d}.jpg"),
+                osp.join(seq_dir, "img1", f"{f + 1:06d}.jpg"),
+            )
+            for tid in (1, 2):
+                x = 10 + 4 * f + 20 * tid
+                gt_lines.append(f"{f + 1},{tid},{x},12,18,30,1,1,1.0")
+                det_lines.append(f"{f + 1},-1,{x},12,18,30,1.0,-1,-1")
+        cfgp = configparser.ConfigParser()
+        cfgp["Sequence"] = {
+            "name": "MOT17-05-FRCNN", "imDir": "img1", "frameRate": "30",
+            "seqLength": "6", "imWidth": "96", "imHeight": "64",
+            "imExt": ".jpg",
+        }
+        with open(osp.join(seq_dir, "seqinfo.ini"), "w") as fh:
+            cfgp.write(fh)
+        with open(osp.join(seq_dir, "gt", "gt.txt"), "w") as fh:
+            fh.write("\n".join(gt_lines) + "\n")
+        with open(osp.join(seq_dir, "det", "det.txt"), "w") as fh:
+            fh.write("\n".join(det_lines) + "\n")
+
+    cfg = load_config("train.yaml", named=["train_tracking"]).replace(
+        dataset="mot",
+        mot_path_train=root, mot_path_val=root,
+        backbone="resnet_test", hidden_dim=32, nheads=2, enc_layers=1,
+        dec_layers=1, dim_feedforward=32, num_queries=8, max_objects=6,
+        max_track_queries=8, dropout=0.0, batch_size=2, num_workers=1,
+        debug=True, tracking=True, tracking_eval=True, aux_loss=False,
+        tracking_eval_dataset="MOT17-05-FRCNN",
+        **{"img_transform.max_size": 128, "img_transform.val_width": 64,
+           "size_buckets": [[64, 96], [96, 128]], "log_interval": 1},
+    )
+    model, criterion, post = build_model(cfg)
+    ds = build_dataset("val", cfg)
+    b = ImageBatch(
+        images=jnp.zeros((1, 64, 96, 3)),
+        pad_mask=jnp.zeros((1, 64, 96), bool),
+    )
+    t = Targets.create(
+        jnp.full((1, 2, 4), 0.5), jnp.zeros((1, 2), jnp.int32),
+        jnp.ones((1, 2), bool), num_track_queries=8, hidden_dim=32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), b, t)
+    stats = evaluate(model, criterion, post, params, ds, cfg)
+    assert "coco_eval_bbox" in stats
+    # tracking eval ran and produced CLEAR-MOT numbers (untrained model:
+    # values are poor but must be present and finite)
+    assert "mota" in stats and "idf1" in stats
+    assert np.isfinite(stats["mota"]) and np.isfinite(stats["idf1"])
