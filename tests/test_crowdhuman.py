@@ -1,0 +1,75 @@
+"""CrowdHuman pipeline round-trip: odgt lines -> COCO json
+(tools/generate_coco_from_crowdhuman ≙ reference
+src/generate_coco_from_crowdhuman.py:15-114) -> build_crowdhuman dataset
+with tracking prev-frame simulation -> a train-shaped item."""
+import json
+import os.path as osp
+
+import numpy as np
+from PIL import Image
+
+from kinet_tpu.config import load_config
+from kinet_tpu.data.crowdhuman import build_crowdhuman
+from kinet_tpu.tools.generate_coco_from_crowdhuman import (
+    generate_coco_from_crowdhuman,
+)
+
+
+def _make_crowdhuman(root):
+    img_dir = root / "train"
+    ann_dir = root / "annotations"
+    img_dir.mkdir()
+    ann_dir.mkdir()
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(3):
+        rid = f"img{i:03d}"
+        arr = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{rid}.jpg")
+        records.append(
+            {
+                "ID": rid,
+                "gtboxes": [
+                    {"tag": "person", "fbox": [8 + 10 * i, 10, 20, 32]},
+                    {"tag": "person", "fbox": [50, 20, 18, 30],
+                     "extra": {"ignore": 1}},
+                    {"tag": "mask", "fbox": [70, 5, 12, 12]},
+                ],
+            }
+        )
+    odgt = root / "annotation_train.odgt"
+    with open(odgt, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in records) + "\n")
+    return odgt, img_dir, ann_dir
+
+
+def test_crowdhuman_roundtrip(tmp_path):
+    odgt, img_dir, ann_dir = _make_crowdhuman(tmp_path)
+    coco = generate_coco_from_crowdhuman(str(odgt), str(img_dir))
+    assert len(coco["images"]) == 3
+    assert coco["images"][0]["height"] == 64
+    # 3 boxes per image; the ignore-flagged and the 'mask' tag are ignores
+    anns0 = [a for a in coco["annotations"] if a["image_id"] == 0]
+    assert len(anns0) == 3
+    assert [a["ignore"] for a in anns0] == [0, 1, 1]
+
+    with open(ann_dir / "train.json", "w") as f:
+        json.dump(coco, f)
+
+    cfg = load_config("train.yaml", named=["train_tracking"]).replace(
+        dataset="crowdhuman", crowdhuman_path=str(tmp_path),
+        crowdhuman_train_split="train",
+        max_objects=6, max_track_queries=6,
+        **{"img_transform.max_size": 128, "img_transform.val_width": 64},
+    )
+    ds = build_crowdhuman("train", cfg)
+    assert len(ds) == 3
+    item = ds[0]
+    # tracking prev-frame simulation: the same image re-augmented
+    assert "prev_image" in item and item["prev_image"] is not None
+    tgt = item["target"]
+    # the two ignores are split out of the train boxes
+    assert int(np.sum(np.asarray(tgt["labels"]) >= 0)) >= 1
+    boxes = np.asarray(tgt["boxes"])
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    assert (boxes >= 0).all() and (boxes <= 1).all()
