@@ -45,7 +45,7 @@ class CocoIndex:
 def convert_anns_to_target(anns, img_hw, image_id):
     """≙ ConvertCocoPolysToMask (reference coco.py:191-267), numpy."""
     h, w = img_hw
-    anns = [a for a in anns if a.get("iscrowd", 0) == 0 or True]
+    anns = [a for a in anns if a.get("iscrowd", 0) == 0]  # ref coco.py:204
     boxes, labels, areas, iscrowd, track_ids, ignores = [], [], [], [], [], []
     for a in anns:
         x, y, bw, bh = a["bbox"]

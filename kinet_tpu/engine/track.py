@@ -63,19 +63,49 @@ class _Prefetcher:
 
         self._q = queue.Queue(maxsize=depth)
         self._exc = None
+        self._stop = threading.Event()
         self._t = threading.Thread(
             target=self._work, args=(seq, start, end), daemon=True
         )
         self._t.start()
 
     def _work(self, seq, start, end):
+        import queue
+
         try:
             for i in range(start, end):
-                self._q.put(seq[i])
+                blob = seq[i]
+                # bounded put + stop checks: if the consumer aborts its
+                # frame loop (e.g. a tracker exception), close() raises the
+                # stop flag and this worker exits instead of blocking on a
+                # full queue forever (advisor round-2 low finding)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(blob, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             self._exc = e
         finally:
-            self._q.put(None)
+            try:
+                self._q.put_nowait(None)
+            except queue.Full:
+                pass  # close() drains; the worker is exiting either way
+
+    def close(self):
+        """Unblock and join the worker (idempotent; safe mid-iteration)."""
+        import queue
+
+        self._stop.set()
+        while self._t.is_alive():
+            try:  # drain so a blocked put can observe the stop flag
+                self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._t.join(timeout=0.05)
 
     def __iter__(self):
         while True:
@@ -85,6 +115,13 @@ class _Prefetcher:
                     raise self._exc
                 return
             yield blob
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc_info):
+        self.close()
+        return False
 
 
 def main_track(cfg, obj_detector_model=None):
@@ -177,35 +214,38 @@ def main_track(cfg, obj_detector_model=None):
             results = seq.load_results(cfg.load_results_dir)
         kinet_mode = cfg.get("kinet", False) or train_cfg.get("kine", False)
         if not results:
-            for blob in _Prefetcher(seq, start_frame, end_frame):
-                if kinet_mode:
-                    # adapt image-sequence blobs to kinematic input
-                    # (≙ TrackDatasetFactoryKinet/get_sub_dataset intent,
-                    # reference factory.py:76-142 — its call signature is
-                    # broken upstream, SURVEY §8.5)
-                    h0, w0 = blob["orig_size"]
-                    d = blob["dets"]
-                    cxcywh = np.stack(
-                        [
-                            (d[:, 0] + d[:, 2]) / 2 / w0,
-                            (d[:, 1] + d[:, 3]) / 2 / h0,
-                            (d[:, 2] - d[:, 0]) / w0,
-                            (d[:, 3] - d[:, 1]) / h0,
-                        ],
-                        axis=1,
-                    ) if len(d) else np.zeros((0, 4), np.float32)
-                    blob = {
-                        "detections": cxcywh.astype(np.float32),
-                        "metadata": blob.get(
-                            "dets_conf", np.ones(len(d), np.float32)
-                        )[:, None],
-                        "orig_size": blob["orig_size"],
-                        "max_detections": int(
-                            train_cfg.max_number_detection
-                        ),
-                    }
-                tracker.step(blob)
-                num_frames += 1
+            # context manager stops the worker thread even if tracker.step
+            # raises mid-sequence (otherwise it blocks forever on q.put)
+            with _Prefetcher(seq, start_frame, end_frame) as frames:
+                for blob in frames:
+                    if kinet_mode:
+                        # adapt image-sequence blobs to kinematic input
+                        # (≙ TrackDatasetFactoryKinet/get_sub_dataset intent,
+                        # reference factory.py:76-142 — its call signature is
+                        # broken upstream, SURVEY §8.5)
+                        h0, w0 = blob["orig_size"]
+                        d = blob["dets"]
+                        cxcywh = np.stack(
+                            [
+                                (d[:, 0] + d[:, 2]) / 2 / w0,
+                                (d[:, 1] + d[:, 3]) / 2 / h0,
+                                (d[:, 2] - d[:, 0]) / w0,
+                                (d[:, 3] - d[:, 1]) / h0,
+                            ],
+                            axis=1,
+                        ) if len(d) else np.zeros((0, 4), np.float32)
+                        blob = {
+                            "detections": cxcywh.astype(np.float32),
+                            "metadata": blob.get(
+                                "dets_conf", np.ones(len(d), np.float32)
+                            )[:, None],
+                            "orig_size": blob["orig_size"],
+                            "max_detections": int(
+                                train_cfg.max_number_detection
+                            ),
+                        }
+                    tracker.step(blob)
+                    num_frames += 1
             results = tracker.get_results()
         time_total += time.time() - t0
 

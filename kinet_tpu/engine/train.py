@@ -221,12 +221,15 @@ def train(cfg):
                 if preempt.requested():
                     # finish the in-flight step, checkpoint, and return —
                     # the launcher requeues and auto-resumes (reference
-                    # run_with_submitit.py:53-67 checkpoint()+resubmit)
+                    # run_with_submitit.py:53-67 checkpoint()+resubmit).
+                    # Saved as epoch-1 so the requeued run RE-RUNS the
+                    # interrupted epoch instead of skipping its remaining
+                    # steps (advisor round-2 medium finding).
                     if ckpt is not None:
-                        ckpt.save_epoch(state, epoch, None)
+                        ckpt.save_preempt(state, epoch)
                         print(
-                            "preemption requested: checkpoint saved at "
-                            f"epoch {epoch}, returning for requeue"
+                            "preemption requested: mid-epoch checkpoint "
+                            f"saved, requeued run will re-run epoch {epoch}"
                         )
                     return state
                 iter_vis = visualizers["train"].get("iter_metrics")

@@ -106,6 +106,29 @@ def build_model(cfg):
     elif cfg.get("deformable", False):
         from .deformable_detr import DeformableDETR
 
+        # accuracy-UNSAFE perf knobs (measured model-level loss, PLAN.md:
+        # enc_msda_topk truncates the attention mixture — op-level 3.2x but
+        # degrades predictions; enc_msda_int8 quantizes the value tables).
+        # Refuse them unless the config opts in explicitly.
+        lossy = [
+            k for k in ("enc_msda_topk", "enc_msda_int8") if cfg.get(k, 0)
+        ]
+        if lossy and not cfg.get("allow_lossy", False):
+            raise ValueError(
+                f"{lossy} change model predictions (measured accuracy loss, "
+                "see PLAN.md / ops/msda.py); set allow_lossy=true to enable "
+                "them anyway"
+            )
+        if lossy:
+            import warnings
+
+            warnings.warn(
+                f"accuracy-unsafe MSDA variants enabled: {lossy} "
+                "(allow_lossy=true) — predictions will differ from the "
+                "exact model",
+                stacklevel=2,
+            )
+
         model = DeformableDETR(
             **common,
             dec_layers=cfg.dec_layers,

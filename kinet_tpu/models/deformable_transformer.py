@@ -176,14 +176,32 @@ class MSDeformAttn(nn.Module):
         if self.gather_raw:
             assert not (self.shared_locs or self.top_k or self.int8_values)
             src_m = src
-            if src_quad is None and src_padding_mask is not None:
-                src_m = jnp.where(src_padding_mask[..., None], 0.0, src_m)
+            valid_extents = None
+            if src_padding_mask is not None:
+                if src_quad is None:
+                    src_m = jnp.where(src_padding_mask[..., None], 0.0, src_m)
+                # per-level valid extents (pad is a bottom/right rectangle —
+                # the codebase-wide get_valid_ratio assumption): pad-hitting
+                # corners must not contribute to the bias-restore weight sum,
+                # matching the exact path's zeroing of value_proj bias at
+                # padded rows (advisor round-2 high finding)
+                ext, cur = [], 0
+                for h, w in spatial_shapes:
+                    m_l = src_padding_mask[:, cur : cur + h * w].reshape(
+                        b, h, w
+                    )
+                    vh = jnp.sum(~m_l[:, :, 0], axis=1)
+                    vw = jnp.sum(~m_l[:, 0, :], axis=1)
+                    ext.append(jnp.stack([vh, vw], axis=-1))
+                    cur += h * w
+                valid_extents = jnp.stack(ext, axis=1).astype(jnp.float32)
             pooled, wsum = ms_deform_attn_raw_pool(
                 src_m,
                 tuple(spatial_shapes),
                 loc.astype(jnp.float32),
                 attn.astype(jnp.float32),
                 src_quad,
+                valid_extents,
             )
             out = _ValueProjAfterPool(self.d_model, name="value_proj")(
                 pooled.astype(src.dtype), wsum

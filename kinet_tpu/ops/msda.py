@@ -417,11 +417,23 @@ def _rows_gather_bwd(res, dg):
 _rows_gather.defvjp(_rows_gather_fwd, _rows_gather_bwd)
 
 
-def _flat_cell_index(sampling_locations, spatial_shapes, starts):
+def _flat_cell_index(sampling_locations, spatial_shapes, starts,
+                     valid_extents=None):
     """Per-sample flat cell index + folded 4-corner weights.
 
     sampling_locations [..., L, P, 2] -> (idx [..., L, P] int32 into the
-    all-level quad table, w4 [..., L, P, 4] corner weights)."""
+    all-level quad table, w4 [..., L, P, 4] corner weights).
+
+    valid_extents [B, L, 2] (optional): per-level (valid_h, valid_w) float
+    cell counts of the un-padded region. When given, corners landing in the
+    padded region (y >= valid_h or x >= valid_w — padding in this codebase
+    is always a bottom/right rectangle, the same assumption
+    deformable_transformer.get_valid_ratio makes) get their weight zeroed.
+    This makes the weight sum match the exact project-then-gather path,
+    which zeroes the projected value INCLUDING the value_proj bias at
+    padded positions — the gather-then-project path restores the bias via
+    the weight sum, so pad-hitting corners must not contribute to it.
+    Requires leading dims (B, ...)."""
     h_arr = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
     w_arr = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
     w_int = jnp.asarray([w for _, w in spatial_shapes], jnp.int32)
@@ -435,6 +447,21 @@ def _flat_cell_index(sampling_locations, spatial_shapes, starts):
     y0 = jnp.floor(y)
     wx, x0c = _quad_slot_weights(x0, x - x0, wf)
     wy, y0c = _quad_slot_weights(y0, y - y0, hf)
+    if valid_extents is not None:
+        b, l = valid_extents.shape[:2]
+        eshp = (b,) + (1,) * (sampling_locations.ndim - 4) + (l, 1)
+        vh = valid_extents[..., 0].reshape(eshp)
+        vw = valid_extents[..., 1].reshape(eshp)
+        # slot j of the quad row is the corner at column c0c + j (for every
+        # nonzero-weight shift case of _quad_slot_weights)
+        vx = jnp.stack(
+            [x0c.astype(jnp.float32) + j < vw for j in range(2)], -1
+        )
+        vy = jnp.stack(
+            [y0c.astype(jnp.float32) + j < vh for j in range(2)], -1
+        )
+        wx = wx * vx
+        wy = wy * vy
     w4 = (wy[..., :, None] * wx[..., None, :]).reshape(*x.shape, 4)
     idx = st.reshape(*shp, -1, 1) + y0c * w_int.reshape(*shp, -1, 1) + x0c
     return idx, w4
@@ -536,6 +563,10 @@ def ms_deform_attn_raw_pool(
     sampling_locations: jnp.ndarray,  # [B, Lq, M, L, P, 2]
     attention_weights: jnp.ndarray,  # [B, Lq, M, L, P]
     src_quad: jnp.ndarray | None = None,  # prebuilt quad table [B, S, 4C]
+    valid_extents: jnp.ndarray | None = None,  # [B, L, 2] (vh, vw) per
+    # level — zeroes pad-hitting corner weights so the weight sum (the
+    # bias-restore weight) matches the exact path, which zeroes the
+    # projected value incl. bias at padded rows; see _flat_cell_index
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-then-project formulation, pooling stage: bilinear-sample RAW
     src rows (before the value projection) and reduce over samples/corners.
@@ -562,7 +593,9 @@ def ms_deform_attn_raw_pool(
         src_quad = build_raw_quad(src, spatial_shapes)
     vq = src_quad.reshape(b * s, 4 * c)
 
-    idx, w4 = _flat_cell_index(sampling_locations, spatial_shapes, starts)
+    idx, w4 = _flat_cell_index(
+        sampling_locations, spatial_shapes, starts, valid_extents
+    )
     w = w4 * attention_weights[..., None]  # [B, Lq, M, L, P, 4]
     # [B, Lq, M, L, P(, 4)] -> [M, B, Lq*L*P(, 4)]
     idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, b, lq * l * p)

@@ -96,6 +96,17 @@ def import_state_dict(
         if deformable
         else None
     )
+    if deformable:
+        import warnings
+
+        warnings.warn(
+            "importing a deformable checkpoint: if it was TRAINED with the "
+            "reference fork, set msda_ref_normalizer=True on the model — "
+            "the fork divides sampling offsets by (H, W) "
+            "(ms_deform_attn.py:79, swapped vs upstream Deformable-DETR); "
+            "without the flag the imported offsets sample wrong locations.",
+            stacklevel=2,
+        )
 
     def take(k):
         used.add(k)
@@ -108,6 +119,16 @@ def import_state_dict(
         return take(k).T
 
     writes = {}
+    # Some reference tensors map to one of SEVERAL possible target layouts
+    # (MHA block-wrapper vs bare self_attn; class_embed.0 -> class_embed0
+    # AND the shared class_embed). Paths registered in an alternative
+    # group are applied non-strictly even under strict=True; strict mode
+    # then requires that at least one member of each group resolved
+    # (advisor round-2: requiring every member made strict unusable).
+    alt_groups: dict = {}
+
+    def alt(group_key, paths):
+        alt_groups.setdefault(group_key, []).extend(paths)
 
     for k in list(sd):
         # ---- backbone ----
@@ -297,6 +318,9 @@ def import_state_dict(
             writes[(f"class_embed{i}",) + suffix] = val
             if i == "0":
                 writes[("class_embed",) + suffix] = val
+                alt(("class_embed", i) + suffix,
+                    [(f"class_embed{i}",) + suffix,
+                     ("class_embed",) + suffix])
             continue
         m = re.match(r"bbox_embed\.(\d+)\.layers\.(\d)\.(weight|bias)$", k)
         if m:
@@ -306,6 +330,9 @@ def import_state_dict(
             writes[(f"bbox_embed{i}",) + suffix] = val
             if i == "0":
                 writes[("bbox_embed",) + suffix] = val
+                alt(("bbox_embed", i) + suffix,
+                    [(f"bbox_embed{i}",) + suffix,
+                     ("bbox_embed",) + suffix])
             continue
         # ---- transformer layers (optionally nested in a KineT stream) ----
         m = re.match(
@@ -351,11 +378,16 @@ def import_state_dict(
                         sd[f"{pre}{side}.layers.{i}.{base}.out_proj.bias"],
                         nheads,
                     )
-                    writes.update(_mha_paths(scope + attn, *mha_args))
+                    wrapped = _mha_paths(scope + attn, *mha_args)
+                    writes.update(wrapped)
                     # deformable decoder names its MHA "self_attn" directly
                     # (no block wrapper); the non-strict writer skips
-                    # whichever layout the target tree lacks
-                    writes.update(_mha_paths(scope + (base,), *mha_args))
+                    # whichever layout the target tree lacks — in strict
+                    # mode the alt group requires one layout to resolve
+                    bare = _mha_paths(scope + (base,), *mha_args)
+                    writes.update(bare)
+                    alt(scope + (base, "mha"),
+                        list(wrapped) + list(bare))
                     used.update(
                         {
                             f"{pre}{side}.layers.{i}.{base}.in_proj_bias",
@@ -410,9 +442,20 @@ def import_state_dict(
             continue
 
     applied = 0
+    alt_paths = {p for paths in alt_groups.values() for p in paths}
+    alt_applied: dict = {}
     for path, val in writes.items():
-        if _set(tree, list(path), val, strict):
+        in_alt = path in alt_paths
+        if _set(tree, list(path), val, strict and not in_alt):
             applied += 1
+            if in_alt:
+                alt_applied[path] = True
+    if strict:
+        for key, paths in alt_groups.items():
+            if not any(alt_applied.get(p) for p in paths):
+                raise KeyError(
+                    f"no alternative layout resolved for {'/'.join(map(str, key))}"
+                )
     unused = [k for k in sd if k not in used]
     if strict and unused:
         raise KeyError(f"unmapped reference keys: {unused[:10]}...")

@@ -93,6 +93,24 @@ class CheckpointManager:
             raise RuntimeError("orbax not available")
         self._ckptr.save(path.resolve(), payload, force=True)
 
+    def save_preempt(self, state, epoch: int):
+        """Mid-epoch preemption checkpoint: recorded as `epoch - 1` so the
+        requeued run re-enters (re-runs) the interrupted epoch —
+        load_for_resume restarts at restored_epoch + 1. Matches the
+        reference's coarse-grained submitit resume (run_with_submitit.py:
+        53-67); without this the remaining steps of the interrupted epoch
+        would be silently skipped. Writes only the rolling `checkpoint`
+        (no interval/best files: the state is mid-epoch)."""
+        self._save(
+            self.dir / "checkpoint",
+            {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+                "epoch": epoch - 1,
+            },
+        )
+
     def save_epoch(self, state, epoch: int, eval_stats: Optional[dict] = None):
         payload = {
             "params": state.params,

@@ -17,6 +17,8 @@ ITERS = 10
 
 
 def bench_one(overrides: dict) -> float:
+    overrides.setdefault("allow_lossy", True)  # probing lossy variants is
+    # the point of this script; build_model gates them otherwise
     cfg = load_config(
         "train.yaml",
         named=["train_deformable", "train_tracking", "train_multi_frame"],

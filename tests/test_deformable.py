@@ -217,3 +217,55 @@ def test_msda_gather_raw_matches_project_first():
     np.testing.assert_allclose(
         np.asarray(out_raw), np.asarray(out_std), rtol=1e-4, atol=1e-4
     )
+
+
+def test_msda_gather_raw_exact_at_pad_boundary():
+    """Advisor round-2 high finding: gather-then-project must stay exact
+    when sampling points land on PADDED rows. The exact path zeroes the
+    projected value INCLUDING the value_proj bias at padded positions;
+    the raw path restores the bias via the pooled weight sum, so that sum
+    must exclude pad-hitting corners. Reproduces the reported mismatch
+    (bias=5, refs spanning the pad boundary) with a realistic bottom/right
+    rectangular pad mask, as produced by downsample_pad_mask."""
+    from kinet_tpu.models.deformable_transformer import MSDeformAttn
+
+    b, lq, c, m = 2, 64, 32, 4
+    shapes = ((8, 10), (4, 5))
+    s = sum(h * w for h, w in shapes)
+    # valid region [0:vh, 0:vw] per level, per batch element
+    valid = [((6, 7), (3, 4)), ((8, 10), (4, 5))]  # elem 1: no padding
+    pad = np.ones((b, s), bool)
+    for bi in range(b):
+        cur = 0
+        for (h, w), (vh, vw) in zip(shapes, valid[bi]):
+            m2 = np.ones((h, w), bool)
+            m2[:vh, :vw] = False
+            pad[bi, cur : cur + h * w] = m2.reshape(-1)
+            cur += h * w
+    pad = jnp.asarray(pad)
+
+    k = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(k, 3)
+    query = jax.random.normal(k1, (b, lq, c))
+    src = jax.random.normal(k2, (b, s, c))
+    # refs across the full unit square — many samples straddle or land
+    # inside the padded region of element 0
+    ref = jax.random.uniform(
+        k3, (b, lq, len(shapes), 2), minval=0.02, maxval=0.98
+    )
+
+    std = MSDeformAttn(c, len(shapes), m, 3, gather_raw=False)
+    raw = MSDeformAttn(c, len(shapes), m, 3, gather_raw=True)
+    params = std.init(jax.random.PRNGKey(1), query, ref, src, shapes, pad)
+    # large value_proj bias — the term the weight sum restores
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: jnp.full_like(x, 5.0)
+        if "value_proj" in jax.tree_util.keystr(p) and "bias" in jax.tree_util.keystr(p)
+        else x,
+        params,
+    )
+    out_std = std.apply(params, query, ref, src, shapes, pad)
+    out_raw = raw.apply(params, query, ref, src, shapes, pad)
+    np.testing.assert_allclose(
+        np.asarray(out_raw), np.asarray(out_std), rtol=1e-4, atol=1e-4
+    )

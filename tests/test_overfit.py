@@ -61,8 +61,14 @@ def test_deformable_variants_overfit_single_image():
         enc_msda_topk=4,  # prune half of the 2x4 samples
         enc_lite=True,  # Lite-DETR interleaved high-level update
         enc_lite_klevels=2,  # low-level update sees only 2 finest levels
+        allow_lossy=True,  # topk is accuracy-unsafe; build_model gates it
     )
-    model, criterion, _ = build_model(cfg)
+    import pytest
+
+    with pytest.raises(ValueError, match="allow_lossy"):
+        build_model(cfg.replace(allow_lossy=False))
+    with pytest.warns(UserWarning, match="accuracy-unsafe"):
+        model, criterion, _ = build_model(cfg)
     key = jax.random.PRNGKey(0)
     batch = ImageBatch(
         images=jax.random.normal(key, (1, 64, 64, 3)),

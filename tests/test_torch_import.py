@@ -137,6 +137,13 @@ def test_full_state_dict_import():
     assert not report["unmapped"], report["unmapped"]
     # every write landed
     assert report["applied"] >= 80
+    # strict mode must be usable despite dual-layout writes (MHA wrapper vs
+    # bare self_attn): alternative groups require ONE layout to resolve,
+    # not both (advisor round-2 low finding)
+    strict_vars, strict_report = import_state_dict(
+        sd, variables, nheads=2, strict=True
+    )
+    assert strict_report["applied"] == report["applied"]
     # imported params produce a valid forward
     out = model.apply(new_vars, b, t)
     assert bool(jnp.isfinite(out["pred_logits"]).all())

@@ -214,3 +214,32 @@ def test_full_kinet_dual_stream_track_session(synthetic_mot17, tmp_path):
         tmp_path / "kinet_dual_results" / "MOT17-02-FRCNN" / "MOT17-02-FRCNN.txt"
     )
     assert res_file.exists()
+
+
+def test_prefetcher_close_unblocks_worker():
+    """A consumer that aborts its frame loop early must not leak the
+    prefetch worker blocked on q.put (advisor round-2 low finding):
+    close() raises the stop flag, drains, and joins the thread."""
+    from kinet_tpu.engine.track import _Prefetcher
+
+    class Seq:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            return {"i": i}
+
+    pf = _Prefetcher(Seq(), 0, 100, depth=2)
+    it = iter(pf)
+    assert next(it)["i"] == 0  # worker is alive and producing
+    pf.close()  # consumer aborts after one frame
+    assert not pf._t.is_alive()
+
+    # context-manager form: exception inside the loop still joins the worker
+    try:
+        with _Prefetcher(Seq(), 0, 100, depth=2) as frames:
+            for blob in frames:
+                raise RuntimeError("tracker died")
+    except RuntimeError:
+        pass
+    assert not frames._t.is_alive()

@@ -186,6 +186,15 @@ def test_preemption_checkpoints_and_returns(synthetic_mot_coco, tmp_path):
         preempt.clear()
     assert int(state.step) == 1  # stopped mid-epoch, not after 3 epochs
     assert osp.exists(tmp_path / "out" / "checkpoint")
+    # mid-epoch checkpoint records epoch-1: the requeued run must RE-RUN
+    # the interrupted epoch 1 (load_for_resume restarts at epoch+1), not
+    # skip its remaining steps (advisor round-2 medium finding)
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(
+        str((tmp_path / "out" / "checkpoint").resolve())
+    )
+    assert int(restored["epoch"]) == 0
 
 
 def test_evaluate_with_tracking_eval(synthetic_mot_coco):
