@@ -259,7 +259,11 @@ def collate_kine(samples, max_detections: int, max_objects: int, trail_len: int,
     valid = np.zeros((b, max_objects), bool)
     track_ids = np.full((b, max_objects), -1, np.int32)
     trails = np.zeros((b, max_objects, trail_len, 4), np.float32)
+    image_ids = np.zeros((b,), np.int64)
+    orig_sizes = np.zeros((b, 2), np.float32)
     for i, (d, m, t) in enumerate(samples):
+        image_ids[i] = int(t.get("image_id", -1))
+        orig_sizes[i] = np.asarray(t["orig_size"][:2], np.float32)
         nd = min(len(d), max_detections - off)
         dets[i, off : off + nd] = d[:nd, :4]
         meta[i, off : off + nd] = m[:nd]
@@ -280,4 +284,7 @@ def collate_kine(samples, max_detections: int, max_objects: int, trail_len: int,
         "valid": valid,
         "track_ids": track_ids,
         "trails": trails,
+        # eval bookkeeping (COCO AP needs ids + absolute sizes)
+        "image_ids": image_ids,
+        "orig_sizes": orig_sizes,
     }

@@ -24,8 +24,34 @@ from ..utils.logging import MetricLogger
 
 
 def evaluate(model, criterion, postprocessors, params, dataset_val, cfg):
-    sampler = RandomSampler(dataset_val, seed=0)
+    # shard the val set across hosts; CocoEvaluator merges the prediction
+    # shards in synchronize_between_processes (reference engine.py:259-264)
+    sampler = RandomSampler(
+        dataset_val, rank=jax.process_index(),
+        world_size=jax.process_count(), seed=0,
+    )
+    kine = bool(cfg.get("kine", False))
     n_track = int(cfg.max_track_queries) if cfg.tracking else 0
+    collate = None
+    if kine:
+        # kine batches: (detections, metadata, target) triples, padded to
+        # static shapes — same collate the train loop uses (the reference
+        # crashes here: engine.py unconditionally unpacks image batches,
+        # SURVEY §8.10; implemented as evidently intended)
+        import functools
+
+        from ..data.kinematic import collate_kine
+
+        trail_len = max(int(cfg.track_prev_frame_range), 1)
+        meta_dim = 2 if cfg.use_class else 1
+        collate = functools.partial(
+            collate_kine,
+            max_detections=int(cfg.max_number_detection),
+            max_objects=int(cfg.max_objects),
+            trail_len=trail_len,
+            meta_dim=meta_dim,
+            empty_start=bool(cfg.use_empty_start),
+        )
     loader = DataLoader(
         dataset_val,
         batch_size=int(cfg.batch_size),
@@ -36,6 +62,7 @@ def evaluate(model, criterion, postprocessors, params, dataset_val, cfg):
         hidden_dim=int(cfg.hidden_dim),
         num_workers=int(cfg.num_workers),
         drop_last=False,
+        collate_fn=collate,
     )
 
     @jax.jit
@@ -45,26 +72,67 @@ def evaluate(model, criterion, postprocessors, params, dataset_val, cfg):
         results = postprocessors["bbox"](out, sizes)
         return losses, results
 
+    if kine:
+        from ..structs import KineBatch, Targets
+        from ..tracking.kine_augment import kine_track_embed_dims
+
+        enc0 = (
+            int(cfg.encoding_dim_tracklets)
+            if cfg.get("use_encoding_tracklets", False)
+            else 0
+        )
+        trail_len = max(int(cfg.track_prev_frame_range), 1)
+        meta_dim = 2 if cfg.use_class else 1
+        tdim, mdim = kine_track_embed_dims(trail_len, enc0, meta_dim)
+
+        @jax.jit
+        def eval_step_kine(params, batch_dict, sizes):
+            kb = KineBatch(
+                detections=batch_dict["detections"],
+                metadata=batch_dict["metadata"],
+                pad_mask=batch_dict["det_pad_mask"],
+            )
+            # eval-mode track queries: empty slots (reference
+            # detr_tracking.py:268-279 zero-fills at eval)
+            targets = Targets.create(
+                batch_dict["boxes"], batch_dict["labels"],
+                batch_dict["valid"], batch_dict["track_ids"],
+                num_track_queries=n_track, hidden_dim=tdim + mdim,
+            )
+            out = model.apply(params, kb, targets, deterministic=True)
+            losses = criterion(out, targets)
+            results = postprocessors["bbox"](out, sizes)
+            return losses, results
+
     evaluator = CocoEvaluator(dataset_val.coco)
     logger = MetricLogger(print_freq=int(cfg.log_interval), debug=bool(cfg.debug))
     for batch in logger.log_every(loader, "Eval"):
-        images: ImageBatch = batch["image"]
-        targets = batch["target"]
         # original sizes for absolute-coordinate eval (reference evaluates
         # in orig_size space, engine.py:203-255)
         sizes = jnp.asarray(batch["orig_sizes"], jnp.float32)
-        losses, results = eval_step(
-            params,
-            jax.tree_util.tree_map(jnp.asarray, images),
-            jax.tree_util.tree_map(jnp.asarray, targets),
-            sizes,
-        )
+        if kine:
+            losses, results = eval_step_kine(
+                params,
+                jax.tree_util.tree_map(jnp.asarray, dict(batch)),
+                sizes,
+            )
+            image_ids = np.asarray(batch["image_ids"])
+        else:
+            images: ImageBatch = batch["image"]
+            targets = batch["target"]
+            losses, results = eval_step(
+                params,
+                jax.tree_util.tree_map(jnp.asarray, images),
+                jax.tree_util.tree_map(jnp.asarray, targets),
+                sizes,
+            )
+            image_ids = batch["image_ids"]
         logger.update(
             **{k: float(v) for k, v in losses.items() if jnp.ndim(v) == 0}
         )
         # make_results ≙ reference engine.py:24-99
         preds = {}
-        for i, img_id in enumerate(batch["image_ids"].tolist()):
+        for i, img_id in enumerate(np.asarray(image_ids).tolist()):
             preds[int(img_id)] = {
                 "boxes": np.asarray(results["boxes"][i]),
                 "scores": np.asarray(results["scores"][i]),

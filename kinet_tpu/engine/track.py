@@ -200,10 +200,19 @@ def main_track(cfg, obj_detector_model=None):
         img_transform=train_cfg.img_transform,
     )
 
+    from ..utils import dist
+
+    # multi-host tracking eval: round-robin the val sequences across
+    # processes (reference engine.py:291-304); accums are merged via
+    # all_gather below (engine.py:333-344). Single-process: a no-op split.
+    world = dist.get_world_size()
+    rank = dist.get_rank()
+    seqs = list(dataset)[rank::world]
+
     time_total = 0.0
     num_frames = 0
     accums, accum_names = [], []
-    for seq in dataset:
+    for seq in seqs:
         tracker.reset()
         print(f"TRACK SEQ: {seq}", flush=True)
         start_frame = int(cfg.frame_range.start * len(seq))
@@ -281,6 +290,13 @@ def main_track(cfg, obj_detector_model=None):
             f"({num_frames / max(time_total, 1e-9):.2f} Hz)",
             flush=True,
         )
+    if world > 1:
+        # merge every host's accumulators (≙ reference all_gather of
+        # mot_accums, engine.py:333-344) so each host reports the full
+        # summary over all sequences
+        gathered = dist.all_gather_objects((accums, accum_names))
+        accums = [a for accs, _ in gathered for a in accs]
+        accum_names = [n for _, names in gathered for n in names]
     if accums:
         summary = evaluate_mot_accums(accums, accum_names)
         print(format_summary(summary), flush=True)

@@ -275,3 +275,141 @@ def test_evaluate_with_tracking_eval(synthetic_mot_coco):
     # values are poor but must be present and finite)
     assert "mota" in stats and "idf1" in stats
     assert np.isfinite(stats["mota"]) and np.isfinite(stats["idf1"])
+
+
+def test_evaluate_kine_dataset(synthetic_mot_coco):
+    """evaluate() on a KINE dataset (VERDICT r2 weak #3 / next #4): the
+    reference's evaluate unconditionally unpacks image batches and would
+    crash on kine val data (SURVEY §8.10); here the kine branch collates
+    (detections, metadata, target) triples and scores COCO AP on the
+    KineT model's associated boxes."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kinet_tpu.data import build_dataset
+    from kinet_tpu.engine.evaluate import evaluate
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.structs import KineBatch, Targets
+    from kinet_tpu.tracking.kine_augment import kine_track_embed_dims
+
+    ann_dir = osp.join(synthetic_mot_coco, "annotations")
+    with open(osp.join(ann_dir, "val.json")) as f:
+        gt = _json.load(f)
+    dets = {
+        "images": gt["images"],
+        "annotations": [
+            {**a, "id": i, "confidence": 0.9}
+            for i, a in enumerate(gt["annotations"])
+        ],
+        "categories": gt["categories"],
+        "sequences": gt["sequences"],
+    }
+    with open(osp.join(ann_dir, "det_val.json"), "w") as f:
+        _json.dump(dets, f)
+
+    cfg = load_config("train.yaml", named=["train_kinet2"]).replace(
+        dataset="mot_kine",
+        mot_path_train=synthetic_mot_coco,
+        mot_path_val=synthetic_mot_coco,
+        hidden_dim=32, nheads=2, dim_feedforward=32,
+        max_objects=6, max_number_detection=8, max_track_queries=6,
+        track_prev_frame_range=2, encoding_dim_tracklets=4,
+        use_encoding_tracklets=True,
+        dropout=0.0, batch_size=2, num_workers=1, debug=True,
+        tracking=True, tracking_eval=False,
+        **{"log_interval": 1},
+    )
+    model, criterion, post = build_model(cfg)
+    ds = build_dataset("val", cfg)
+    # init params from one real sample's shapes
+    d0, m0, t0 = ds[0]
+    nd, mo = 8, 6
+    kb0 = KineBatch(
+        detections=jnp.zeros((1, nd, 4), jnp.float32),
+        metadata=jnp.zeros((1, nd, m0.shape[-1]), jnp.float32),
+        pad_mask=jnp.zeros((1, nd), bool),
+    )
+    tdim, mdim = kine_track_embed_dims(2, 4, m0.shape[-1])
+    tg0 = Targets.create(
+        jnp.full((1, mo, 4), 0.5), jnp.zeros((1, mo), jnp.int32),
+        jnp.ones((1, mo), bool), num_track_queries=6, hidden_dim=tdim + mdim,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), kb0, tg0)
+    stats = evaluate(model, criterion, post, params, ds, cfg)
+    assert "coco_eval_bbox" in stats and len(stats["coco_eval_bbox"]) == 12
+    assert -1.0 <= stats["coco_eval_bbox"][0] <= 1.0
+
+
+def test_track_multihost_sequence_split(synthetic_mot_coco, monkeypatch):
+    """Multi-host tracking eval (reference engine.py:291-304, 333-344):
+    sequences are split round-robin over process_index, and the per-host
+    accums are merged via all_gather before the summary — validated with a
+    fake 2-process world (no real multi-host needed)."""
+    from kinet_tpu.utils import dist
+
+    # fake a 2-host world from the perspective of rank 0
+    monkeypatch.setattr(dist, "get_world_size", lambda: 2)
+    monkeypatch.setattr(dist, "get_rank", lambda: 0)
+    gathered_payloads = []
+
+    def fake_all_gather(obj, **kw):
+        gathered_payloads.append(obj)
+        # simulate the other rank contributing one accumulated sequence
+        from kinet_tpu.utils.mot_metrics import MOTAccumulator
+
+        other = MOTAccumulator()
+        other.update([1], [1], np.zeros((1, 1)))
+        return [obj, ([other], ["OTHER-SEQ"])]
+
+    monkeypatch.setattr(dist, "all_gather_objects", fake_all_gather)
+
+    class FakeSeq:
+        def __init__(self, name):
+            self.name = name
+            self.no_gt = False
+            self.data = [{"gt": {1: np.array([0, 0, 10, 10])}}]
+
+        def __str__(self):
+            return self.name
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            raise AssertionError("frames should not be read (results loaded)")
+
+        def load_results(self, d):
+            return {1: {0: {"bbox": np.array([0, 0, 10, 10, 1.0])}}}
+
+    seqs = [FakeSeq(f"SEQ-{i:02d}") for i in range(4)]
+
+    import kinet_tpu.engine.track as trk_engine
+
+    monkeypatch.setattr(
+        trk_engine, "TrackDatasetFactory", lambda *a, **k: seqs
+    )
+
+    # minimal config: model loading is skipped via obj_detector_model
+    from kinet_tpu.config import load_config as _lc
+
+    track_cfg = _lc("track.yaml").replace(
+        data_root_dir=synthetic_mot_coco, output_dir="",
+        load_results_dir="unused",
+    )
+    train_cfg = _lc("train.yaml").replace(tracking=True)
+
+    class NoModel:
+        def __call__(self, batch, targets):  # signature for make_forward_fn
+            raise AssertionError("model must not run (results loaded)")
+
+    summary = trk_engine.main_track(
+        track_cfg, obj_detector_model=(NoModel(), {}, {}, train_cfg)
+    )
+    # rank 0 tracked only its round-robin half: SEQ-00, SEQ-02
+    own_accums, own_names = gathered_payloads[0]
+    assert own_names == ["SEQ-00", "SEQ-02"]
+    # the summary covers rank 0's sequences AND the gathered remote one
+    assert set(summary.keys()) >= {"SEQ-00", "SEQ-02", "OTHER-SEQ"}
