@@ -20,6 +20,14 @@ from PIL import Image
 from . import transforms as T
 
 
+def item_seed(base_seed: int, epoch: int, idx: int) -> int:
+    """Deterministic, well-mixed per-(epoch, item) augmentation seed."""
+    return int(
+        np.random.SeedSequence([base_seed, epoch, idx]).generate_state(1)[0]
+        % (2**31)
+    )
+
+
 class CocoIndex:
     """Minimal COCO-json index: images, anns by image."""
 
@@ -131,6 +139,18 @@ class CocoDetection:
         self._prev_frame = prev_frame
         self._prev_frame_rnd_augs = prev_frame_rnd_augs
         self._prev_prev_frame = prev_prev_frame
+        # deterministic per-item augmentation seeds: drawn from the
+        # process-seeded global RNG at construction, mixed with
+        # (epoch, idx) per item — two seeded runs replay identical augs
+        self.base_seed = int(np.random.randint(2**31))
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Fresh augmentation draws per epoch, still run-deterministic."""
+        self.epoch = int(epoch)
+
+    def _item_seed(self, idx: int) -> int:
+        return item_seed(self.base_seed, self.epoch, idx)
 
     def __len__(self):
         return len(self.ids)
@@ -179,7 +199,7 @@ class CocoDetection:
 
     def __getitem__(self, idx):
         image_id = self.ids[idx]
-        seed = int(np.random.default_rng().integers(2**31))
+        seed = self._item_seed(idx)
         img, target = self._getitem_from_id(image_id, seed, jitter=False)
         sample = {"image": img, "target": target}
         if self._prev_frame:

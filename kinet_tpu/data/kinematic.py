@@ -23,7 +23,7 @@ import os.path as osp
 
 import numpy as np
 
-from .coco import CocoIndex
+from .coco import CocoIndex, item_seed
 
 
 def box_xyxy_to_cxcywh_np(b):
@@ -135,6 +135,12 @@ class MOTKine:
         self.use_classes = use_classes
         self.overflow_boxes = overflow_boxes
         self.noise_prob = noise_prob
+        # deterministic per-(epoch, item) augmentation seeds (see coco.py)
+        self.base_seed = int(np.random.randint(2**31))
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.ids)
@@ -213,7 +219,9 @@ class MOTKine:
             dets[:, 0::2] = dets[:, 0::2].clip(0, w)
             dets[:, 1::2] = dets[:, 1::2].clip(0, h)
 
-        rng = np.random.default_rng(np.random.default_rng().integers(2**31))
+        rng = np.random.default_rng(
+            item_seed(self.base_seed, self.epoch, idx)
+        )
         if self.split == "train":
             if rng.uniform() < 0.5:
                 dets, meta, target = hflip_det(dets, meta, target)

@@ -43,7 +43,7 @@ class MOT(CocoDetection):
 
     def __getitem__(self, idx):
         image_id = self.ids[idx]
-        seed = int(np.random.default_rng().integers(2**31))
+        seed = self._item_seed(idx)
         img, target = self._getitem_from_id(image_id, seed, jitter=False)
         sample = {"image": img, "target": target}
 

@@ -63,13 +63,16 @@ class Scene:
     dets: list = field(default_factory=list)
 
     def visible(self, obj: SceneObject, f: int) -> bool:
+        """Fully hidden while the box CENTER is inside the pillar columns
+        (and the rows overlap) — a deep doorway/pole occlusion; approach
+        frames show partial occlusion (the pillar renders over the box)."""
         if self.pillar is None:
             return True
         x, y, w, h = obj.box_at(f)
         px0, px1, py0, py1 = self.pillar
         in_rows = (y < py1) and (y + h > py0)
-        in_cols = (x < px1) and (x + w > px0)
-        return not (in_rows and in_cols)
+        cx = x + w / 2
+        return not (in_rows and px0 <= cx <= px1)
 
     def gt_at(self, f: int) -> dict:
         """{track_id: xywh} of visible objects (hidden objects carry no GT
@@ -123,6 +126,9 @@ def hard_scene(
     obj_h: int = 26,
     speed: float = 4.0,
     pillar_w: int = 16,
+    row_gap: int = 6,
+    pillar_frac: float = 0.5,  # pillar center along the occludee's travel
+    occ_speed: float | None = None,  # occludee speed (default 0.75 * speed)
     seed: int = 0,
     det_jitter: float = 2.0,
     det_drop: float = 0.08,
@@ -141,10 +147,10 @@ def hard_scene(
     colors = _palette(n_objects)
     travel = speed * (n_frames - 1)
     objects = []
-    # crossing band: alternate L->R / R->L, rows offset by 6 px
+    # crossing band: alternate L->R / R->L, rows offset by row_gap px
     for i in range(n_objects - 1):
         ltr = i % 2 == 0
-        row = 4 + 6 * i
+        row = 4 + row_gap * i
         x0 = 2.0 + 3.0 * i if ltr else (w - obj_w - 2.0 - 3.0 * i)
         objects.append(
             SceneObject(
@@ -152,18 +158,24 @@ def hard_scene(
                 x0=x0, vx=speed if ltr else -speed, color=colors[i],
             )
         )
-    # occluded object: own row, L->R behind the pillar
-    occ_row = 4 + 6 * (n_objects - 1) + obj_h + 4
-    assert occ_row + obj_h <= h, "scene height too small for object count"
+    # occluded object: own row, a bit larger and slower (the greedy
+    # center-distance reid gate is dist^2 <= box area — size and speed
+    # together bound the reappearance jump), L->R behind the pillar
+    if occ_speed is None:
+        occ_speed = speed * 0.75
+    ow, oh = obj_w + 4, obj_h + 4
+    occ_row = 4 + row_gap * (n_objects - 1) + obj_h + 4
+    assert occ_row + oh <= h, "scene height too small for object count"
+    occ_travel = occ_speed * (n_frames - 1)
     objects.append(
         SceneObject(
-            track_id=n_objects, size=(obj_w, obj_h), row=occ_row,
-            x0=2.0, vx=speed, color=colors[-1],
+            track_id=n_objects, size=(ow, oh), row=occ_row,
+            x0=2.0, vx=occ_speed, color=colors[-1],
         )
     )
-    # pillar over the occluded object's row band, centered on its path
-    px0 = int(2.0 + travel / 2 - pillar_w / 2)
-    pillar = (px0, px0 + pillar_w, occ_row - 4, min(h, occ_row + obj_h + 4))
+    # pillar over the occluded object's row band, at pillar_frac of its path
+    px0 = int(2.0 + ow / 2 + occ_travel * pillar_frac - pillar_w / 2)
+    pillar = (px0, px0 + pillar_w, occ_row - 4, min(h, occ_row + oh + 4))
     scene = Scene(n_frames=n_frames, h=h, w=w, objects=objects, pillar=pillar)
 
     # public detections: GT + jitter, with drops and spurious boxes

@@ -182,6 +182,8 @@ def train(cfg):
 
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         sampler.set_epoch(epoch)
+        if hasattr(dataset_train, "set_epoch"):
+            dataset_train.set_epoch(epoch)  # fresh deterministic aug draws
         logger = MetricLogger(
             print_freq=int(cfg.log_interval), debug=bool(cfg.debug)
         )

@@ -147,7 +147,11 @@ class ResNet(nn.Module):
                 x = Bottleneck(
                     width,
                     stride=stride if b == 0 else 1,
-                    dilation=dil,
+                    # torchvision replace_stride_with_dilation semantics
+                    # (ref backbone.py:100-108): the FIRST block of the
+                    # dilated stage keeps previous_dilation == 1; only the
+                    # remaining blocks run dilation 2
+                    dilation=1 if b == 0 else dil,
                     downsample=(b == 0),
                     name=f"layer{stage + 1}_{b}",
                 )(x)

@@ -23,10 +23,32 @@ import os.path as osp
 
 VIS_THRESHOLD = 0.25
 
+# MOT15 sequences ship no seqinfo.ini; the reference hardcodes their
+# geometry (generate_coco_from_mot.py:26-33 MOT_15_SEQS_INFO) and skips
+# the gt class-column filter for them (:178 — MOT15 gt has no class col)
+MOT15_SEQS_INFO = {
+    "ETH-Bahnhof": {"width": 640, "height": 480, "seq_length": 1000},
+    "ETH-Sunnyday": {"width": 640, "height": 480, "seq_length": 354},
+    "KITTI-13": {"width": 1242, "height": 375, "seq_length": 340},
+    "KITTI-17": {"width": 1224, "height": 370, "seq_length": 145},
+    "PETS09-S2L1": {"width": 768, "height": 576, "seq_length": 795},
+    "TUD-Campus": {"width": 640, "height": 480, "seq_length": 71},
+    "TUD-Stadtmitte": {"width": 640, "height": 480, "seq_length": 179},
+}
+
 
 def _read_seqinfo(seq_path):
+    ini = osp.join(seq_path, "seqinfo.ini")
+    seq_name = osp.basename(seq_path)
+    if not osp.exists(ini) and seq_name in MOT15_SEQS_INFO:
+        m = MOT15_SEQS_INFO[seq_name]
+        return {
+            "name": seq_name, "img_dir": "img1",
+            "seq_length": m["seq_length"], "width": m["width"],
+            "height": m["height"], "ext": ".jpg",
+        }
     cfg = configparser.ConfigParser()
-    cfg.read(osp.join(seq_path, "seqinfo.ini"))
+    cfg.read(ini)
     s = cfg["Sequence"]
     return {
         "name": s["name"],
@@ -79,11 +101,15 @@ def generate_coco_from_mot(
                 frame = int(row[0]) - 1
                 if not (start <= frame < end):
                     continue
-                cls = int(row[7]) if len(row) > 7 else 1
+                mot15 = seq in MOT15_SEQS_INFO
+                cls = int(row[7]) if len(row) > 7 and not mot15 else 1
                 conf = int(row[6]) if len(row) > 6 else 1
-                vis = float(row[8]) if len(row) > 8 else 1.0
+                vis = (
+                    float(row[8]) if len(row) > 8 and not mot15 else 1.0
+                )
                 # pedestrian-ish classes; distractors become ignore
-                # (reference :139-187)
+                # (reference :139-187; MOT15 gt carries no class column
+                # so every conf==1 row is a person, reference :178)
                 if cls not in (1, 2, 7, 8, 12):
                     continue
                 ignore = (

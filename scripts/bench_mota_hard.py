@@ -1,0 +1,196 @@
+"""Chip-scale hard synthetic-MOT accuracy session (VERDICT r2 next #1).
+
+The suite-scale gate (tests/test_synthetic_mota_hard.py) runs a tiny
+model on an 80x128 scene; this script runs the SAME failure modes —
+path crossings, K-frame occlusion -> reid, noisy public detections with
+min_iou_0_5 filtering — at flagship scale on the real chip:
+
+- flagship config family (deformable + tracking + multi-frame, hidden
+  288, all perf surgery active, bf16),
+- 100-frame 768x1280 scene with 12 objects (11 crossing + 1 occluded),
+- train to convergence on-chip, then run the full cached tracker and
+  score CLEAR-MOT/IDF1 + reid count.
+
+Record the resulting numbers in PLAN.md as the on-chip accuracy session
+evidence. Not part of the suite (runtime ~15 min on one v5e).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_mota_hard.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kinet_tpu.config import load_config
+from kinet_tpu.data.synthetic import hard_scene
+
+MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+N_FRAMES, H, W, N_OBJ = 100, 768, 1280, 12
+ITERS = int(__import__("os").environ.get("BMH_ITERS", "2400"))
+LR_DROP_AT = int(ITERS * 0.8)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def build_scene():
+    return hard_scene(
+        n_frames=N_FRAMES, h=H, w=W, n_objects=N_OBJ,
+        obj_w=80, obj_h=100, speed=11.0, pillar_w=72, row_gap=44,
+        det_jitter=6.0,
+    )
+
+
+def frame_tensors(scene, f, cfg):
+    from kinet_tpu.structs import ImageBatch, Targets
+
+    img = scene.render(f).astype(np.float32) / 255.0
+    img = (img - MEAN) / STD
+    gt = scene.gt_at(f)
+    n_slots = N_OBJ
+    boxes = np.full((n_slots, 4), 0.5, np.float32)
+    valid = np.zeros((n_slots,), bool)
+    tids = np.zeros((n_slots,), np.int32)
+    for i, (tid, (x, y, w, h)) in enumerate(sorted(gt.items())):
+        boxes[i] = [(x + w / 2) / W, (y + h / 2) / H, w / W, h / H]
+        valid[i] = True
+        tids[i] = tid
+    batch = ImageBatch(
+        images=jnp.asarray(img)[None],
+        pad_mask=jnp.zeros((1, H, W), bool),
+    )
+    targets = Targets.create(
+        jnp.asarray(boxes)[None], jnp.zeros((1, n_slots), jnp.int32),
+        jnp.asarray(valid)[None], track_ids=jnp.asarray(tids)[None],
+        num_track_queries=int(cfg.max_track_queries),
+        hidden_dim=int(cfg.hidden_dim),
+    )
+    return batch, targets
+
+
+def main():
+    from kinet_tpu.engine.state import TrainState, build_optimizer
+    from kinet_tpu.engine.train_step import make_train_step
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.models.postprocess import build_postprocessors
+    from kinet_tpu.tracking.tracker import Tracker
+    from kinet_tpu.utils.mot_metrics import evaluate_mot_accums, get_mot_accum
+
+    scene = build_scene()
+    log(f"scene: {N_FRAMES} frames {H}x{W}, {N_OBJ} objects, "
+        f"occlusion spans {scene.occlusion_spans()}")
+
+    cfg = load_config(
+        "train.yaml",
+        named=["train_deformable", "train_tracking", "train_multi_frame"],
+    ).replace(
+        dataset="mot", compute_dtype="bfloat16", remat=True, dropout=0.0,
+        lr=1e-4 * 2, lr_backbone=2e-5, lr_drop=1,
+        track_query_false_negative_prob=0.4,
+        track_query_false_positive_prob=0.1,
+    )
+    model, criterion, _ = build_model(cfg)
+
+    frames_np = {}
+
+    def get_frame(f):
+        if f not in frames_np:
+            frames_np[f] = frame_tensors(scene, f, cfg)
+        return frames_np[f]
+
+    b0, t0 = get_frame(1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), b0, t0)
+    tx = build_optimizer(cfg, params, steps_per_epoch=LR_DROP_AT)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, criterion, tx, cfg)
+    rng = jax.random.PRNGKey(1)
+
+    t_start = time.time()
+    for it in range(ITERS):
+        f = it % N_FRAMES
+        batch, targets = get_frame(f)
+        pbatch, ptargets = get_frame(max(f - 1, 0))
+        if it % 4 == 3:
+            # sequence-start simulation (see tests/test_synthetic_mota_hard)
+            ptargets = ptargets.replace(valid=ptargets.valid & False)
+        state, losses = step(
+            state, jax.random.fold_in(rng, it), batch, targets, pbatch,
+            ptargets,
+        )
+        if it % 200 == 0:
+            log(f"it {it} loss {float(losses['loss']):.3f} "
+                f"({time.time() - t_start:.0f}s)")
+    log(f"train done: loss {float(losses['loss']):.3f} "
+        f"in {time.time() - t_start:.0f}s")
+
+    post = build_postprocessors(cfg)["bbox"]
+    tracker_cfg = dict(
+        detection_obj_score_thresh=0.35, track_obj_score_thresh=0.35,
+        detection_nms_thresh=0.5, track_nms_thresh=0.9,
+        public_detections="min_iou_0_5", inactive_patience=14,
+        reid_sim_threshold=20.0, reid_sim_only=False, reid_score_thresh=0.35,
+        reid_greedy_matching=False, prev_frame_dist=1, steps_termination=2,
+    )
+    tracker = Tracker(
+        model, state.params, post, tracker_cfg,
+        num_object_queries=int(cfg.num_queries),
+        num_track_slots=int(cfg.max_track_queries),
+        hidden_dim=int(cfg.hidden_dim),
+    )
+    t_track = time.time()
+    for f in range(N_FRAMES):
+        img = scene.render(f).astype(np.float32) / 255.0
+        img = (img - MEAN) / STD
+        d = np.array([b for b, _ in scene.dets[f]], np.float32).reshape(-1, 4)
+        dxy = d.copy()
+        dxy[:, 2:] += dxy[:, :2]
+        tracker.step(
+            {
+                "images": img[None],
+                "pad_mask": np.zeros((1, H, W), bool),
+                "orig_size": (H, W),
+                "dets": dxy,
+            }
+        )
+    track_s = time.time() - t_track
+    log(f"tracked {N_FRAMES} frames in {track_s:.1f}s "
+        f"({N_FRAMES / track_s:.1f} Hz incl. compile)")
+
+    class _Seq:
+        def __init__(self, sc):
+            self.data = []
+            for f in range(sc.n_frames):
+                gt = {
+                    tid: np.array([x, y, x + w, y + h], np.float32)
+                    for tid, (x, y, w, h) in sc.gt_at(f).items()
+                }
+                self.data.append({"gt": gt})
+
+        def __len__(self):
+            return len(self.data)
+
+    accum = get_mot_accum(tracker.get_results(), _Seq(scene))
+    summary = evaluate_mot_accums([accum], ["hard"], generate_overall=False)
+    m = summary["hard"]
+    import json
+
+    print(json.dumps(
+        {
+            "mota": m["mota"], "idf1": m["idf1"],
+            "num_switches": m["num_switches"], "reids": tracker.num_reids,
+            "train_s": round(time.time() - t_start - track_s),
+            "track_hz": round(N_FRAMES / track_s, 2),
+        }
+    ), flush=True)
+
+
+if __name__ == "__main__":
+    main()

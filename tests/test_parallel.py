@@ -17,12 +17,6 @@ def test_mesh_creation():
     assert mesh.axis_names == ("data", "model")
 
 
-def test_dryrun_multichip_8():
-    import __graft_entry__ as ge
-
-    ge.dryrun_multichip(8)
-
-
 def test_optimizer_param_groups():
     from kinet_tpu.config import load_config
     from kinet_tpu.engine.state import param_labels

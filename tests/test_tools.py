@@ -88,3 +88,31 @@ def test_track_param_search_grid(monkeypatch, tmp_path):
     assert best["detection_obj_score_thresh"] == 0.4
     assert best["track_obj_score_thresh"] == 0.5
     assert best["mota"] == 0.9
+
+
+def test_mot15_converter_branch(tmp_path):
+    """MOT15 sequences have no seqinfo.ini and no class/visibility columns
+    in gt.txt (reference generate_coco_from_mot.py:26-33,178): geometry
+    comes from the hardcoded table and every conf==1 row is a person."""
+    from kinet_tpu.tools.generate_coco_from_mot import generate_coco_from_mot
+
+    seq = "TUD-Campus"  # 640x480, 71 frames in the MOT15 table
+    seq_dir = tmp_path / "train" / seq
+    (seq_dir / "gt").mkdir(parents=True)
+    (seq_dir / "img1").mkdir()
+    gt = [
+        "1,1,10,20,30,60,1",   # kept (conf 1)
+        "1,2,50,20,30,60,0",   # conf 0 -> ignore
+        "2,1,12,20,30,60,1",
+    ]
+    (seq_dir / "gt" / "gt.txt").write_text("\n".join(gt) + "\n")
+
+    coco = generate_coco_from_mot(str(tmp_path), seqs=[seq])
+    assert len(coco["images"]) == 71
+    assert coco["images"][0]["width"] == 640
+    assert coco["images"][0]["height"] == 480
+    anns = coco["annotations"]
+    assert len(anns) == 3
+    by_track = {(a["track_id"], a["image_id"]): a for a in anns}
+    assert by_track[(1, 0)]["ignore"] == 0
+    assert by_track[(2, 0)]["ignore"] == 1  # conf 0

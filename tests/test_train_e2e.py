@@ -413,3 +413,57 @@ def test_track_multihost_sequence_split(synthetic_mot_coco, monkeypatch):
     assert own_names == ["SEQ-00", "SEQ-02"]
     # the summary covers rank 0's sequences AND the gathered remote one
     assert set(summary.keys()) >= {"SEQ-00", "SEQ-02", "OTHER-SEQ"}
+
+
+def test_seeded_data_stream_is_reproducible(synthetic_mot_coco):
+    """Two identically-seeded dataset+loader passes produce bit-identical
+    batches (VERDICT r2 next #9): per-item augmentation seeds are a pure
+    function of (construction seed, epoch, index), and the threaded loader
+    re-sequences worker output deterministically."""
+    import numpy as np
+
+    from kinet_tpu.data import build_dataset
+    from kinet_tpu.data.loader import DataLoader, RandomSampler
+
+    cfg = load_config("train.yaml", named=["train_tracking"]).replace(
+        dataset="mot",
+        mot_path_train=synthetic_mot_coco,
+        mot_path_val=synthetic_mot_coco,
+        max_objects=6, max_track_queries=6,
+        **{"img_transform.max_size": 128, "img_transform.val_width": 64,
+           "size_buckets": [[64, 96], [96, 128]]},
+    )
+
+    def run_epochs():
+        np.random.seed(11)
+        ds = build_dataset("train", cfg)
+        sampler = RandomSampler(ds, seed=11)
+        loader = DataLoader(
+            ds, batch_size=2, sampler=sampler, buckets=cfg.size_buckets,
+            max_objects=6, num_track_queries=6, hidden_dim=32,
+            num_workers=2,
+        )
+        out = []
+        for epoch in (0, 1):
+            sampler.set_epoch(epoch)
+            ds.set_epoch(epoch)
+            for batch in loader:
+                out.append(
+                    (
+                        np.asarray(batch["image"].images).copy(),
+                        np.asarray(batch["target"].boxes).copy(),
+                    )
+                )
+        return out
+
+    a = run_epochs()
+    b = run_epochs()
+    assert len(a) == len(b) and len(a) >= 4
+    for (ia, ba), (ib, bb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ba, bb)
+    # different epochs draw different augs (not a frozen pipeline)
+    assert not all(
+        np.array_equal(a[i][0], a[i + len(a) // 2][0])
+        for i in range(len(a) // 2)
+    )
