@@ -467,7 +467,18 @@ def _flat_cell_index(sampling_locations, spatial_shapes, starts,
     return idx, w4
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+# batched per-head quad tables above this size fall out of the fast
+# gather tier (~31 GB/s below ~20 MB, ~14 GB/s above; gather_bw_probe).
+# Measured at flagship encoder shapes (batch_scaling_probe, v5e): B4
+# batched (19 MB tables) 4.17 ms/img vs per-element (5 MB) 3.50 ms/img;
+# B8 3.58 vs 2.60. Below the threshold, batched wins (dispatch
+# amortization: B1 8.83 ms/img vs B4 batched 4.17).
+_BATCH_UNROLL_TABLE_BYTES = 12 * 2**20
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spatial_shapes", "batch_unroll")
+)
 def ms_deform_attn_quad_unroll(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -477,6 +488,7 @@ def ms_deform_attn_quad_unroll(
     # (value may then be int8: halves gather bytes AND table size — both
     # measured gather-speed levers; the scale folds into the corner
     # weights per head, so dequantization is free)
+    batch_unroll: bool | None = None,  # None = auto by table size
 ) -> jnp.ndarray:
     """THE production formulation: quad-table rows + per-head UNROLLED flat
     gathers. Exact semantics (oracle: tests/test_msda.py).
@@ -488,7 +500,10 @@ def ms_deform_attn_quad_unroll(
     - gather operands with BATCH dims (from vmap) hit a slow emitter ->
       unroll the head loop into M separate un-batched gathers;
     - tables <= ~20 MB gather at ~31 GB/s vs ~14 GB/s above -> per-head
-      all-level quad table is ~7 MB at flagship scale, in the fast tier.
+      all-level quad table is ~7 MB at flagship scale, in the fast tier;
+    - at batch >= 4 the batched table leaves the fast tier -> unroll the
+      BATCH loop too (per-element gathers against B1-size tables; exact —
+      identical adds per output element; see batch_scaling_probe.py).
     """
     b, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
@@ -506,24 +521,51 @@ def ms_deform_attn_quad_unroll(
         w4 * attention_weights[..., None]
     ).transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
 
+    if batch_unroll is None:
+        batch_unroll = (
+            b > 1
+            and b * s * 4 * d * value.dtype.itemsize
+            > _BATCH_UNROLL_TABLE_BYTES
+        )
+
     bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
     k_samp = l * p
     r = b * lq * k_samp
     outs = []
     for hm in range(m):
-        tbl = vq[:, hm].reshape(b * s, 4 * d)
         # SAMPLE-MAJOR row order (r = k * B*Lq + q): the consumer stays in
         # the gather's [R, 4D] row-major layout — corner reduce as 4
         # lane-sliced multiply-adds, sample reduce as a free major-dim
         # reshape + axis-0 sum. The q-major einsum formulation forced a
         # T(4,128) relayout of the whole gather output plus a kLoop
         # reduction, each about as expensive as the gather itself.
-        idx_k = idx[hm].reshape(b, lq, k_samp).transpose(2, 0, 1)
-        rows = (idx_k + bofs[None]).reshape(r)
-        g = _rows_gather(tbl, rows)  # [K*B*Lq, 4D]
         w_h = w4[hm]
         if value_scale is not None:
             w_h = w_h * value_scale[:, hm].reshape(b, 1, 1, 1)
+        if batch_unroll:
+            outs_e = []
+            for e in range(b):
+                tbl = vq[e, hm]  # [S, 4D] — B1-size fast-tier table
+                rows = (
+                    idx[hm, e].reshape(lq, k_samp).T.reshape(lq * k_samp)
+                )
+                g = _rows_gather(tbl, rows)  # [K*Lq, 4D]
+                wf = (
+                    w_h[e].transpose(1, 0, 2)
+                    .reshape(lq * k_samp, 4).astype(compute_dtype)
+                )
+                acc = wf[:, 0:1] * g[:, :d]
+                for c4 in range(1, 4):
+                    acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * d : (c4 + 1) * d]
+                outs_e.append(
+                    jnp.sum(acc.reshape(k_samp, lq, d), axis=0)
+                )
+            outs.append(jnp.stack(outs_e, axis=0))  # [B, Lq, D]
+            continue
+        tbl = vq[:, hm].reshape(b * s, 4 * d)
+        idx_k = idx[hm].reshape(b, lq, k_samp).transpose(2, 0, 1)
+        rows = (idx_k + bofs[None]).reshape(r)
+        g = _rows_gather(tbl, rows)  # [K*B*Lq, 4D]
         wf = (
             w_h.transpose(2, 0, 1, 3).reshape(r, 4).astype(compute_dtype)
         )
@@ -591,7 +633,6 @@ def ms_deform_attn_raw_pool(
 
     if src_quad is None:
         src_quad = build_raw_quad(src, spatial_shapes)
-    vq = src_quad.reshape(b * s, 4 * c)
 
     idx, w4 = _flat_cell_index(
         sampling_locations, spatial_shapes, starts, valid_extents
@@ -601,10 +642,19 @@ def ms_deform_attn_raw_pool(
     idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, b, lq * l * p)
     w = w.transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
 
+    # NOTE: a per-batch-element unroll (as in ms_deform_attn_quad_unroll)
+    # was tried here too for the B>1 train path — the decoder raw table
+    # grows 76 MB (B1) -> 305 MB (B4) — but with 8 heads x B elements x 6
+    # decoder layers the graph ballooned compile time past usability on
+    # the remote compile service; reverted. The flagship inference/DP path
+    # is batch-1-per-chip, where the batched and unrolled forms coincide.
+    batch_unroll = False
+
     bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
     k_samp = l * p
     r = b * lq * k_samp
     pooled, wsum = [], []
+    vq = src_quad.reshape(b * s, 4 * c)
     for hm in range(m):
         # SAMPLE-MAJOR row order: r = k * (B*Lq) + q. The consumer then
         # never leaves the gather's [R, *] row-major layout — corner reduce
@@ -613,6 +663,29 @@ def ms_deform_attn_raw_pool(
         # needed a T(4,128) relayout of the whole gather output (~0.2 ms
         # x heads x layers), and a reduce_window lowered to a conv that
         # was just as slow.
+        if batch_unroll:
+            p_e, ws_e = [], []
+            for e in range(b):
+                rows = (
+                    idx[hm, e].reshape(lq, k_samp).T.reshape(lq * k_samp)
+                )
+                g = _rows_gather(src_quad[e], rows)  # [K*Lq, 4C]
+                wf = (
+                    w[hm, e].transpose(1, 0, 2)
+                    .reshape(lq * k_samp, 4).astype(compute_dtype)
+                )
+                acc = wf[:, 0:1] * g[:, :c]
+                for c4 in range(1, 4):
+                    acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * c : (c4 + 1) * c]
+                p_e.append(
+                    jnp.sum(
+                        acc.reshape(k_samp, lq, c).astype(jnp.float32),
+                        axis=0,
+                    ).astype(compute_dtype)
+                )
+            pooled.append(jnp.stack(p_e, axis=0))
+            wsum.append(jnp.sum(w[hm], axis=(2, 3)))
+            continue
         idx_k = idx[hm].reshape(b, lq, k_samp).transpose(2, 0, 1)
         rows = (idx_k + bofs[None]).reshape(r)
         g = _rows_gather(vq, rows)  # [K*B*Lq, 4C]

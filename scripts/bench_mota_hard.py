@@ -45,7 +45,7 @@ def build_scene():
     return hard_scene(
         n_frames=N_FRAMES, h=H, w=W, n_objects=N_OBJ,
         obj_w=80, obj_h=100, speed=11.0, pillar_w=72, row_gap=44,
-        det_jitter=6.0,
+        pillar_frac=0.58, det_jitter=6.0,
     )
 
 
@@ -118,7 +118,7 @@ def main():
         f = it % N_FRAMES
         batch, targets = get_frame(f)
         pbatch, ptargets = get_frame(max(f - 1, 0))
-        if it % 4 == 3:
+        if f == 0 or it % 8 == 7:
             # sequence-start simulation (see tests/test_synthetic_mota_hard)
             ptargets = ptargets.replace(valid=ptargets.valid & False)
         state, losses = step(
@@ -133,11 +133,11 @@ def main():
 
     post = build_postprocessors(cfg)["bbox"]
     tracker_cfg = dict(
-        detection_obj_score_thresh=0.35, track_obj_score_thresh=0.35,
-        detection_nms_thresh=0.5, track_nms_thresh=0.9,
+        detection_obj_score_thresh=0.2, track_obj_score_thresh=0.3,
+        detection_nms_thresh=0.4, track_nms_thresh=0.9,
         public_detections="min_iou_0_5", inactive_patience=14,
-        reid_sim_threshold=20.0, reid_sim_only=False, reid_score_thresh=0.35,
-        reid_greedy_matching=False, prev_frame_dist=1, steps_termination=2,
+        reid_sim_threshold=0.0, reid_sim_only=False, reid_score_thresh=0.3,
+        reid_greedy_matching=True, prev_frame_dist=1, steps_termination=1,
     )
     tracker = Tracker(
         model, state.params, post, tracker_cfg,

@@ -318,6 +318,59 @@ def test_quad_unroll_matches_grid_sample():
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_quad_unroll_batch_unroll_exact():
+    """Per-batch-element unrolled gathers (the multi-batch fast path:
+    B1-size tables stay in the fast gather tier, batch_scaling_probe.py)
+    must be EXACT vs the batched formulation and the grid_sample oracle —
+    identical adds per output element, fwd and grad."""
+    from kinet_tpu.ops.msda import ms_deform_attn_quad_unroll
+
+    value, loc, aw, shapes = _random_inputs(21, shapes=((6, 8), (3, 4)))
+    # batch it up
+    value = np.concatenate([value, value[::-1] * 0.5], axis=0)
+    loc = np.concatenate([loc, loc[::-1]], axis=0)
+    aw = np.concatenate([aw, aw[::-1]], axis=0)
+
+    batched = np.asarray(
+        ms_deform_attn_quad_unroll(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw),
+            batch_unroll=False,
+        )
+    )
+    unrolled = np.asarray(
+        ms_deform_attn_quad_unroll(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw),
+            batch_unroll=True,
+        )
+    )
+    np.testing.assert_array_equal(unrolled, batched)  # bit-identical
+    ref = torch_core(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc),
+        torch.from_numpy(aw),
+    ).numpy()
+    np.testing.assert_allclose(unrolled, ref, rtol=1e-4, atol=1e-5)
+
+    # gradients agree between the two formulations
+    def loss_fn(unroll):
+        def f(v, l_, a):
+            return jnp.sum(
+                ms_deform_attn_quad_unroll(
+                    v, shapes, l_, a, batch_unroll=unroll
+                )
+                ** 2
+            )
+        return jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw)
+        )
+
+    g_b = loss_fn(False)
+    g_u = loss_fn(True)
+    for gb, gu in zip(g_b, g_u):
+        np.testing.assert_allclose(
+            np.asarray(gu), np.asarray(gb), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_topk_quad_matches_masked_full():
     from kinet_tpu.ops.msda import ms_deform_attn_topk_quad
 
