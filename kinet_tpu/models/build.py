@@ -111,7 +111,9 @@ def build_model(cfg):
         # degrades predictions; enc_msda_int8 quantizes the value tables).
         # Refuse them unless the config opts in explicitly.
         lossy = [
-            k for k in ("enc_msda_topk", "enc_msda_int8") if cfg.get(k, 0)
+            k
+            for k in ("enc_msda_topk", "enc_msda_int8", "dec_msda_int8")
+            if cfg.get(k, 0)
         ]
         if lossy and not cfg.get("allow_lossy", False):
             raise ValueError(
@@ -150,6 +152,7 @@ def build_model(cfg):
             enc_lite=bool(cfg.get("enc_lite", False)),
             enc_lite_klevels=int(cfg.get("enc_lite_klevels", 0)),
             dec_gather_raw=bool(cfg.get("dec_gather_raw", False)),
+            dec_msda_int8=bool(cfg.get("dec_msda_int8", False)),
             msda_ref_normalizer=bool(cfg.get("msda_ref_normalizer", False)),
             masks=cfg.masks,
             remat=bool(cfg.get("remat", False)),

@@ -65,6 +65,7 @@ class DeformableDETR(nn.Module):
     enc_lite: bool = False  # Lite-DETR interleaved high-level update
     enc_lite_klevels: int = 0  # low-level update: sample k finest levels
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
+    dec_msda_int8: bool = False  # int8 decoder quad tables (lossy, infer)
     msda_ref_normalizer: bool = False  # fork's (H, W) offset normalizer
     # (swapped vs upstream; needed for bit-faithful fork-checkpoint use)
     num_track_slots: int = 0
@@ -140,6 +141,7 @@ class DeformableDETR(nn.Module):
             enc_lite=self.enc_lite,
             enc_lite_klevels=self.enc_lite_klevels,
             dec_gather_raw=self.dec_gather_raw,
+            dec_int8_quad=self.dec_msda_int8,
             msda_ref_normalizer=self.msda_ref_normalizer,
             remat=self.remat,
         )

@@ -122,6 +122,8 @@ class MSDeformAttn(nn.Module):
         deterministic: bool = True,
         src_quad: Optional[jnp.ndarray] = None,  # prebuilt [B, S, 4C] quad
         # table of (masked) src — gather_raw only; lets the caller cache it
+        src_quad_scales: Optional[jnp.ndarray] = None,  # [B, L] per-level
+        # dequant scales when src_quad is int8 (dec_int8_quad)
     ) -> jnp.ndarray:
         b, lq, _ = query.shape
         m, l, p = self.n_heads, self.n_levels, self.n_points
@@ -202,6 +204,7 @@ class MSDeformAttn(nn.Module):
                 attn.astype(jnp.float32),
                 src_quad,
                 valid_extents,
+                quad_scales=src_quad_scales,
             )
             out = _ValueProjAfterPool(self.d_model, name="value_proj")(
                 pooled.astype(src.dtype), wsum
@@ -421,7 +424,7 @@ class DeformableDecoderLayer(nn.Module):
     def __call__(
         self, tgt, query_pos, reference_points, src, spatial_shapes,
         src_padding_mask=None, query_pad_mask=None, deterministic=True,
-        src_quad=None,
+        src_quad=None, src_quad_scales=None,
     ):
         q = k = tgt + query_pos if query_pos is not None else tgt
         attn_mask = (
@@ -445,6 +448,7 @@ class DeformableDecoderLayer(nn.Module):
             tgt + query_pos if query_pos is not None else tgt,
             reference_points, src, spatial_shapes, src_padding_mask,
             query_mask=query_pad_mask, src_quad=src_quad,
+            src_quad_scales=src_quad_scales,
         )
         tgt = nn.LayerNorm()(
             tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
@@ -477,6 +481,7 @@ class DeformableDecoder(nn.Module):
         self, tgt, reference_points, src, spatial_shapes, valid_ratios,
         query_pos=None, src_padding_mask=None, query_pad_mask=None,
         bbox_embed_fns=None, deterministic=True, src_quad=None,
+        src_quad_scales=None,
     ):
         output = tgt
         intermediates, inter_refs = [], []
@@ -496,6 +501,7 @@ class DeformableDecoder(nn.Module):
             )(
                 output, query_pos, ref_input, src, spatial_shapes,
                 src_padding_mask, query_pad_mask, deterministic, src_quad,
+                src_quad_scales,
             )
             if bbox_embed_fns is not None:
                 tmp = bbox_embed_fns[i](output)
@@ -563,6 +569,8 @@ class DeformableTransformer(nn.Module):
     enc_lite: bool = False  # Lite-DETR interleaved high-level update
     enc_lite_klevels: int = 0  # low-level update: sample k finest levels
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
+    dec_int8_quad: bool = False  # int8 decoder quad tables at inference
+    # (accuracy-unsafe: quantization error; gate via allow_lossy)
     msda_ref_normalizer: bool = False  # fork (H, W) offset normalizer
     remat: bool = False
 
@@ -796,45 +804,77 @@ class DeformableTransformer(nn.Module):
 
         init_reference = reference_points
         src_quad = None
-        quad_cur = None
+        quad_cur = None  # bf16 array, or (int8 table, scale [B]) cache item
+        src_quad_scales = None
         if self.dec_gather_raw:
             # decoder cross-attn value table, built ONCE for all layers
             # (layer-invariant: gather_raw samples pre-projection memory).
             # In the cached-memory path the halves are built separately so
-            # the prev half can come from last step's cache.
-            from ..ops.msda import build_raw_quad
+            # the prev half can come from last step's cache. With
+            # dec_int8_quad (inference only) the tables are symmetric-int8
+            # with a per-half scalar scale — halves the byte-bound decoder
+            # gather bytes; each cached half carries its own frame's scale.
+            from ..ops.msda import build_raw_quad, quantize_rows
+
+            int8 = self.dec_int8_quad and deterministic
+
+            def make_table(masked, shapes):
+                if not int8:
+                    return build_raw_quad(masked, shapes), None
+                q8, s8 = quantize_rows(masked)
+                return build_raw_quad(q8, shapes), s8
 
             if prev_encoded is not None or prev_is_current:
                 half_shapes = spatial_shapes[:half_l]
                 s_half = sum(h * w for h, w in half_shapes)
-                quad_cur = build_raw_quad(
+                tbl_cur, s_cur = make_table(
                     jnp.where(
                         mask_flat[:, :s_half, None], 0.0, memory[:, :s_half]
                     ),
                     half_shapes,
                 )
+                quad_cur = (tbl_cur, s_cur) if int8 else tbl_cur
                 if prev_is_current:
-                    quad_prev = quad_cur
+                    tbl_prev, s_prev = tbl_cur, s_cur
                 elif prev_quad is not None:
-                    quad_prev = prev_quad.astype(quad_cur.dtype)
+                    if isinstance(prev_quad, tuple):
+                        tbl_prev, s_prev = prev_quad
+                    else:
+                        tbl_prev = prev_quad.astype(tbl_cur.dtype)
+                        s_prev = None
                 else:
-                    quad_prev = build_raw_quad(
+                    tbl_prev, s_prev = make_table(
                         jnp.where(
                             mask_flat[:, s_half:, None], 0.0,
                             memory[:, s_half:],
                         ),
                         spatial_shapes[half_l:],
                     )
-                src_quad = jnp.concatenate([quad_cur, quad_prev], axis=1)
+                src_quad = jnp.concatenate([tbl_cur, tbl_prev], axis=1)
+                if int8:
+                    src_quad_scales = jnp.concatenate(
+                        [
+                            jnp.tile(s_cur[:, None], (1, half_l)),
+                            jnp.tile(
+                                s_prev[:, None],
+                                (1, len(spatial_shapes) - half_l),
+                            ),
+                        ],
+                        axis=1,
+                    )
             else:
-                src_quad = build_raw_quad(
+                src_quad, s_all = make_table(
                     jnp.where(mask_flat[..., None], 0.0, memory),
                     spatial_shapes,
                 )
+                if int8:
+                    src_quad_scales = jnp.tile(
+                        s_all[:, None], (1, len(spatial_shapes))
+                    )
         hs, inter_refs = self.decoder(
             tgt, reference_points, memory, spatial_shapes, valid_ratios,
             query_pos, mask_flat, query_pad_mask, bbox_embed_fns, deterministic,
-            src_quad,
+            src_quad, src_quad_scales,
         )
         return (
             hs, memory, init_reference, inter_refs,

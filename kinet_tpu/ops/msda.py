@@ -599,6 +599,19 @@ def build_raw_quad(
     return jnp.concatenate(quads, axis=1)
 
 
+def quantize_rows(src: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, S, C] -> (int8 [B, S, C], scale [B]) symmetric per-batch-element
+    quantization for int8 quad tables (dec_msda_int8). A SCALAR scale per
+    table (not per channel) so it can fold into the pooling weights per
+    LEVEL — the cached prev-frame half carries its own frame's scale."""
+    absmax = jnp.max(jnp.abs(src.astype(jnp.float32)), axis=(1, 2))
+    scale = jnp.maximum(absmax / 127.0, 1e-8)  # [B]
+    q8 = jnp.clip(
+        jnp.round(src.astype(jnp.float32) / scale[:, None, None]), -127, 127
+    ).astype(jnp.int8)
+    return q8, scale
+
+
 def ms_deform_attn_raw_pool(
     src: jnp.ndarray,  # [B, S, C] RAW (pre-value-projection) features
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -609,6 +622,11 @@ def ms_deform_attn_raw_pool(
     # level — zeroes pad-hitting corner weights so the weight sum (the
     # bias-restore weight) matches the exact path, which zeroes the
     # projected value incl. bias at padded rows; see _flat_cell_index
+    quad_scales: jnp.ndarray | None = None,  # [B, L] per-level dequant
+    # scale of an int8 src_quad (dec_msda_int8): halves the gather bytes
+    # of the byte-bound decoder rows; folded into the pooling weights so
+    # dequantization is free. The weight SUM stays unscaled (it restores
+    # the value_proj bias).
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-then-project formulation, pooling stage: bilinear-sample RAW
     src rows (before the value projection) and reduce over samples/corners.
@@ -638,8 +656,15 @@ def ms_deform_attn_raw_pool(
         sampling_locations, spatial_shapes, starts, valid_extents
     )
     w = w4 * attention_weights[..., None]  # [B, Lq, M, L, P, 4]
+    if quad_scales is not None:
+        # int8 table: fold the per-level dequant scale into the POOLING
+        # weights only (wsum below uses the unscaled w)
+        w_pool = w * quad_scales[:, None, None, :, None, None]
+    else:
+        w_pool = w
     # [B, Lq, M, L, P(, 4)] -> [M, B, Lq*L*P(, 4)]
     idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, b, lq * l * p)
+    w_pool = w_pool.transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
     w = w.transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
 
     # NOTE: a per-batch-element unroll (as in ms_deform_attn_quad_unroll)
@@ -671,7 +696,7 @@ def ms_deform_attn_raw_pool(
                 )
                 g = _rows_gather(src_quad[e], rows)  # [K*Lq, 4C]
                 wf = (
-                    w[hm, e].transpose(1, 0, 2)
+                    w_pool[hm, e].transpose(1, 0, 2)
                     .reshape(lq * k_samp, 4).astype(compute_dtype)
                 )
                 acc = wf[:, 0:1] * g[:, :c]
@@ -690,7 +715,8 @@ def ms_deform_attn_raw_pool(
         rows = (idx_k + bofs[None]).reshape(r)
         g = _rows_gather(vq, rows)  # [K*B*Lq, 4C]
         wf = (
-            w[hm].transpose(2, 0, 1, 3).reshape(r, 4).astype(compute_dtype)
+            w_pool[hm].transpose(2, 0, 1, 3)
+            .reshape(r, 4).astype(compute_dtype)
         )
         acc = wf[:, 0:1] * g[:, :c]
         for c4 in range(1, 4):

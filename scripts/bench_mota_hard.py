@@ -24,6 +24,10 @@ import time
 import numpy as np
 
 import jax
+
+# persistent compile cache: stages resume without recompiling
+jax.config.update("jax_compilation_cache_dir", "/tmp/kinet_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from kinet_tpu.config import load_config
@@ -106,15 +110,35 @@ def main():
             frames_np[f] = frame_tensors(scene, f, cfg)
         return frames_np[f]
 
-    b0, t0 = get_frame(1)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), b0, t0)
+    import os
+    import pickle
+
+    cache = os.environ.get("BMH_PARAMS", "/tmp/bmh_params.pkl")
+    t_start = time.time()
+    saved = None
+    if os.path.exists(cache):
+        try:
+            with open(cache, "rb") as fh:
+                saved = pickle.load(fh)
+        except Exception as e:  # truncated write from a killed stage
+            log(f"cache unreadable ({e}); starting fresh")
+    if saved is not None:
+        start_it, params = saved["it"] + 1, saved["params"]
+        log(f"resuming from {cache} at it {start_it}")
+    else:
+        start_it = 0
+        b0, t0 = get_frame(1)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), b0, t0)
     tx = build_optimizer(cfg, params, steps_per_epoch=LR_DROP_AT)
     state = TrainState.create(params, tx)
+    # NOTE on resume: the optimizer state restarts fresh (adam moments
+    # reset) — acceptable for this benchmark session; avoid resuming
+    # right before the lr drop
     step = make_train_step(model, criterion, tx, cfg)
     rng = jax.random.PRNGKey(1)
 
-    t_start = time.time()
-    for it in range(ITERS):
+    losses = None
+    for it in range(start_it, ITERS):
         f = it % N_FRAMES
         batch, targets = get_frame(f)
         pbatch, ptargets = get_frame(max(f - 1, 0))
@@ -128,8 +152,24 @@ def main():
         if it % 200 == 0:
             log(f"it {it} loss {float(losses['loss']):.3f} "
                 f"({time.time() - t_start:.0f}s)")
-    log(f"train done: loss {float(losses['loss']):.3f} "
-        f"in {time.time() - t_start:.0f}s")
+        if it % 600 == 599:  # param fetch through the tunnel is slow —
+            # checkpoint sparsely, never at it=0
+            import numpy as _np
+
+            with open(cache + ".tmp", "wb") as fh:
+                pickle.dump(
+                    {
+                        "it": it,
+                        "params": jax.tree_util.tree_map(
+                            _np.asarray, state.params
+                        ),
+                    },
+                    fh,
+                )
+            os.replace(cache + ".tmp", cache)  # atomic vs killed stages
+    if losses is not None:
+        log(f"train done: loss {float(losses['loss']):.3f} "
+            f"in {time.time() - t_start:.0f}s")
 
     post = build_postprocessors(cfg)["bbox"]
     tracker_cfg = dict(

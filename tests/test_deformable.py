@@ -269,3 +269,47 @@ def test_msda_gather_raw_exact_at_pad_boundary():
     np.testing.assert_allclose(
         np.asarray(out_raw), np.asarray(out_std), rtol=1e-4, atol=1e-4
     )
+
+
+def test_dec_msda_int8_close_to_exact():
+    """int8 decoder quad tables (dec_msda_int8, VERDICT r2 next #8):
+    inference-only, lossy-gated. The quantized forward must stay CLOSE to
+    the exact gather_raw forward (symmetric int8, per-half scalar scale
+    folded into the pooling weights), including through the cached
+    prev-memory path where the prev half carries its own frame's scale."""
+    import warnings
+
+    base = dcfg(
+        dec_gather_raw=True, multi_frame_attention=True,
+        multi_frame_encoding=True, cache_prev_encoder=True,
+        frame_agnostic_levels=True, num_feature_levels=8,
+    )
+    model_f, _, _ = build_model(base)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model_q, _, _ = build_model(
+            base.replace(dec_msda_int8=True, allow_lossy=True)
+        )
+    batch, targets = make_batch(jax.random.PRNGKey(0))
+    params = jax.jit(model_f.init)(jax.random.PRNGKey(1), batch, targets)
+
+    out_f = jax.jit(model_f.apply)(params, batch, targets)
+    out_q = jax.jit(model_q.apply)(params, batch, targets)
+    db = float(jnp.max(jnp.abs(out_q["pred_boxes"] - out_f["pred_boxes"])))
+    assert db < 0.05, db  # quantization noise, not structural error
+    # boxes should be MUCH closer than random outputs would be
+    assert db < 0.5 * float(jnp.std(out_f["pred_boxes"]))
+
+    # cached path: frame 2 consumes frame 1's int8 quad half + its scale
+    def two_frames(model):
+        o1 = jax.jit(model.apply)(params, batch, targets)
+        return jax.jit(
+            lambda p, b_, t_, pm, pc: model.apply(
+                p, b_, t_, prev_memory=pm, pos_cache=pc
+            )
+        )(params, batch, targets, o1["frame_memory"], o1["pos_cache"])
+
+    o2f = two_frames(model_f)
+    o2q = two_frames(model_q)
+    db2 = float(jnp.max(jnp.abs(o2q["pred_boxes"] - o2f["pred_boxes"])))
+    assert db2 < 0.05, db2
