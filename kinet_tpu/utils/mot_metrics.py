@@ -13,6 +13,13 @@ implemented directly:
 - ID measures (Ristani et al. 2016): global bipartite assignment between
   GT and hypothesis trajectories minimising unmatched frames; IDF1 =
   2·IDTP / (2·IDTP + IDFP + IDFN).
+- HOTA (Luiten et al. 2021, the MOTChallenge headline metric since 2020;
+  the reference's result tables carry it, reference
+  parse_mot_results_to_tex.py:72-79): per localization threshold α,
+  per-frame Hungarian on global-alignment·IoU scores, DetA·AssA
+  decomposition, geometric mean, averaged over α ∈ {0.05..0.95}.
+  HOTA needs the RAW IoU (not the CLEAR-clipped distance), so
+  `update()` takes an optional `sim` similarity matrix.
 
 `MOTAccumulator.update(gt_ids, hyp_ids, dist)` mirrors the motmetrics API
 shape used by the reference so callers translate 1:1.
@@ -25,13 +32,10 @@ from scipy.optimize import linear_sum_assignment
 INF = 1e9
 
 
-def iou_distance(gt_boxes: np.ndarray, hyp_boxes: np.ndarray, max_iou=0.5):
-    """1 - IoU with entries > (1 - ... ) — pairs with IoU < (1 - max_iou)?
-    motmetrics convention: distances above `max_iou` -> NaN (unmatchable).
-    Boxes are xywh (motmetrics convention used by the reference,
-    track_utils.py:382-391)."""
+def iou_matrix(gt_boxes: np.ndarray, hyp_boxes: np.ndarray) -> np.ndarray:
+    """Pairwise IoU for xywh boxes (raw, unclipped — HOTA similarity)."""
     if len(gt_boxes) == 0 or len(hyp_boxes) == 0:
-        return np.full((len(gt_boxes), len(hyp_boxes)), np.nan)
+        return np.zeros((len(gt_boxes), len(hyp_boxes)))
     g = gt_boxes.astype(np.float64)
     h = hyp_boxes.astype(np.float64)
     gx2, gy2 = g[:, 0] + g[:, 2], g[:, 1] + g[:, 3]
@@ -42,8 +46,17 @@ def iou_distance(gt_boxes: np.ndarray, hyp_boxes: np.ndarray, max_iou=0.5):
     y1 = np.minimum(gy2[:, None], hy2[None, :])
     inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
     union = (g[:, 2] * g[:, 3])[:, None] + (h[:, 2] * h[:, 3])[None] - inter
-    iou = inter / np.maximum(union, 1e-12)
-    dist = 1.0 - iou
+    return inter / np.maximum(union, 1e-12)
+
+
+def iou_distance(gt_boxes: np.ndarray, hyp_boxes: np.ndarray, max_iou=0.5):
+    """1 - IoU with entries > (1 - ... ) — pairs with IoU < (1 - max_iou)?
+    motmetrics convention: distances above `max_iou` -> NaN (unmatchable).
+    Boxes are xywh (motmetrics convention used by the reference,
+    track_utils.py:382-391)."""
+    if len(gt_boxes) == 0 or len(hyp_boxes) == 0:
+        return np.full((len(gt_boxes), len(hyp_boxes)), np.nan)
+    dist = 1.0 - iou_matrix(gt_boxes, hyp_boxes)
     dist[dist > max_iou] = np.nan
     return dist
 
@@ -57,6 +70,7 @@ class MOTAccumulator:
         # per-trajectory bookkeeping for ID measures
         self.gt_frames = {}  # gt_id -> list[(frame, box_idx key)]
         self.frame_pairs = []  # (frame, gt_ids, hyp_ids, dist)
+        self.frame_sims = []  # raw IoU similarity per frame (HOTA)
         self.frame_idx = 0
         # track-quality bookkeeping (MT/PT/ML + fragmentations,
         # motmetrics' track_ratios/num_fragmentations)
@@ -65,11 +79,21 @@ class MOTAccumulator:
         self._gt_last_state = {}  # gt_id -> was matched at last appearance
         self._fragmentations = 0
 
-    def update(self, gt_ids, hyp_ids, dist):
+    def update(self, gt_ids, hyp_ids, dist, sim=None):
+        """`sim` (optional): RAW IoU similarity matrix for HOTA. When
+        omitted it is derived from `dist` (1 - dist, NaN -> 0), which
+        loses pairs below the CLEAR 0.5-IoU clip — fine for CLEAR/ID
+        tests that drive update() directly, while get_mot_accum passes
+        the exact raw IoU."""
         gt_ids = list(gt_ids)
         hyp_ids = list(hyp_ids)
         dist = np.asarray(dist, np.float64).reshape(len(gt_ids), len(hyp_ids))
+        if sim is None:
+            sim = np.where(np.isfinite(dist), 1.0 - dist, 0.0)
+        else:
+            sim = np.asarray(sim, np.float64).reshape(dist.shape)
         self.frame_pairs.append((self.frame_idx, gt_ids, hyp_ids, dist))
+        self.frame_sims.append(sim)
 
         matches = {}
         used_g, used_h = set(), set()
@@ -219,9 +243,101 @@ class MOTAccumulator:
             "idtp": int(idtp), "idfp": int(idfp), "idfn": int(idfn),
         }
 
+    def hota(self, alphas=None):
+        """HOTA (Luiten et al., IJCV 2021) — the TrackEval algorithm:
+
+        1. global alignment score per (gt track, hyp track): accumulated
+           soft potential-match counts A_max = P/(|gt_i| + |hyp_j| - P),
+           P = Σ_frames sim/(Σ_row sim + Σ_col sim - sim);
+        2. per frame, ONE Hungarian maximizing A_max·sim (α-independent),
+           then per α keep matches with sim ≥ α as TPs;
+        3. DetA_α = TP/(TP+FN+FP); AssA_α = TP-weighted mean of
+           A(c) = TPA/(TPA+FNA+FPA) = m_ij/(|gt_i| + |hyp_j| - m_ij);
+           HOTA_α = sqrt(DetA_α · AssA_α); HOTA = mean over α.
+        """
+        if alphas is None:
+            alphas = np.arange(0.05, 0.96, 0.05)
+        alphas = np.asarray(alphas, np.float64)
+        eps = np.finfo(np.float64).eps
+        gids, hids = {}, {}  # id -> dense index
+        for _, gt_ids, hyp_ids, _ in self.frame_pairs:
+            for g in gt_ids:
+                gids.setdefault(g, len(gids))
+            for h in hyp_ids:
+                hids.setdefault(h, len(hids))
+        n_g, n_h = len(gids), len(hids)
+        if n_g == 0 and n_h == 0:
+            z = {"hota": 1.0, "det_a": 1.0, "ass_a": 1.0, "loc_a": 1.0}
+            return z
+        if n_g == 0 or n_h == 0:
+            return {"hota": 0.0, "det_a": 0.0, "ass_a": 0.0, "loc_a": 0.0}
+        gt_count = np.zeros(n_g)
+        hyp_count = np.zeros(n_h)
+        potential = np.zeros((n_g, n_h))
+        for (_, gt_ids, hyp_ids, _), sim in zip(
+            self.frame_pairs, self.frame_sims
+        ):
+            gi = np.array([gids[g] for g in gt_ids], np.intp)
+            hi = np.array([hids[h] for h in hyp_ids], np.intp)
+            gt_count[gi] += 1
+            hyp_count[hi] += 1
+            if len(gi) == 0 or len(hi) == 0:
+                continue
+            denom = sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim
+            soft = np.where(denom > eps, sim / np.maximum(denom, eps), 0.0)
+            potential[np.ix_(gi, hi)] += soft
+        align = potential / np.maximum(
+            gt_count[:, None] + hyp_count[None, :] - potential, eps
+        )
+
+        n_a = len(alphas)
+        tp = np.zeros(n_a)
+        fn = np.zeros(n_a)
+        fp = np.zeros(n_a)
+        loc_sum = np.zeros(n_a)
+        match_counts = np.zeros((n_a, n_g, n_h))
+        for (_, gt_ids, hyp_ids, _), sim in zip(
+            self.frame_pairs, self.frame_sims
+        ):
+            gi = np.array([gids[g] for g in gt_ids], np.intp)
+            hi = np.array([hids[h] for h in hyp_ids], np.intp)
+            if len(gi) == 0 or len(hi) == 0:
+                fn += len(gi)
+                fp += len(hi)
+                continue
+            score = align[np.ix_(gi, hi)] * sim
+            rows, cols = linear_sum_assignment(-score)
+            msim = sim[rows, cols]
+            for a, alpha in enumerate(alphas):
+                ok = msim >= alpha - eps
+                k = int(ok.sum())
+                tp[a] += k
+                fn[a] += len(gi) - k
+                fp[a] += len(hi) - k
+                loc_sum[a] += float(msim[ok].sum())
+                if k:
+                    match_counts[a][gi[rows[ok]], hi[cols[ok]]] += 1
+
+        det_a = tp / np.maximum(tp + fn + fp, 1)
+        ass = match_counts / np.maximum(
+            gt_count[None, :, None] + hyp_count[None, None, :]
+            - match_counts,
+            1,
+        )
+        ass_a = (match_counts * ass).sum((1, 2)) / np.maximum(tp, 1)
+        hota_a = np.sqrt(det_a * ass_a)
+        loc_a = np.where(tp > 0, loc_sum / np.maximum(tp, 1), 1.0)
+        return {
+            "hota": float(hota_a.mean()),
+            "det_a": float(det_a.mean()),
+            "ass_a": float(ass_a.mean()),
+            "loc_a": float(loc_a.mean()),
+        }
+
     def metrics(self):
         out = self.clear_mot()
         out.update(self.id_measures())
+        out.update(self.hota())
         return out
 
 
@@ -249,8 +365,9 @@ def get_mot_accum(results: dict, seq) -> MOTAccumulator:
                 [b[:, 0], b[:, 1], b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], axis=1
             )
 
-        dist = iou_distance(to_xywh(gt_boxes), to_xywh(hyp_boxes))
-        accum.update(gt_ids, hyp_ids, dist)
+        g_xywh, h_xywh = to_xywh(gt_boxes), to_xywh(hyp_boxes)
+        dist = iou_distance(g_xywh, h_xywh)
+        accum.update(gt_ids, hyp_ids, dist, sim=iou_matrix(g_xywh, h_xywh))
     return accum
 
 
@@ -275,6 +392,7 @@ def evaluate_mot_accums(accums, names, generate_overall: bool = True):
                         d,
                     )
                 )
+            overall.frame_sims.extend(accum.frame_sims)
             overall.frame_idx = base + accum.frame_idx
     if generate_overall and len(accums) > 1:
         summary["OVERALL"] = overall.metrics()
@@ -282,8 +400,8 @@ def evaluate_mot_accums(accums, names, generate_overall: bool = True):
 
 
 def format_summary(summary: dict) -> str:
-    cols = ["mota", "idf1", "motp", "num_false_positives", "num_misses",
-            "num_switches"]
+    cols = ["mota", "idf1", "hota", "motp", "num_false_positives",
+            "num_misses", "num_switches"]
     lines = [" " * 16 + "  ".join(f"{c:>8}" for c in cols)]
     for name, m in summary.items():
         vals = []

@@ -7,7 +7,7 @@ min_iou_0_5 filtering — at flagship scale on the real chip:
 
 - flagship config family (deformable + tracking + multi-frame, hidden
   288, all perf surgery active, bf16),
-- 100-frame 768x1280 scene with 12 objects (11 crossing + 1 occluded),
+- 100-frame 672x1184 scene with 12 objects (11 crossing + 1 occluded),
 - train to convergence on-chip, then run the full cached tracker and
   score CLEAR-MOT/IDF1 + reid count.
 
@@ -36,7 +36,11 @@ from kinet_tpu.data.synthetic import hard_scene
 MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 STD = np.array([0.229, 0.224, 0.225], np.float32)
 
-N_FRAMES, H, W, N_OBJ = 100, 768, 1280, 12
+N_FRAMES, H, W, N_OBJ = 100, 672, 1184, 12
+N_SLOTS = 20  # padded target slots — matches the flagship train-step
+# compile shapes (672x1184, 20 object slots) so the persistent cache
+# from bench_train/B-scaling runs is a HIT (a fresh compile at novel
+# shapes can exceed a whole stage through the tunnel)
 ITERS = int(__import__("os").environ.get("BMH_ITERS", "2400"))
 LR_DROP_AT = int(ITERS * 0.8)
 
@@ -48,7 +52,7 @@ def log(m):
 def build_scene():
     return hard_scene(
         n_frames=N_FRAMES, h=H, w=W, n_objects=N_OBJ,
-        obj_w=80, obj_h=100, speed=11.0, pillar_w=72, row_gap=44,
+        obj_w=80, obj_h=100, speed=11.0, pillar_w=72, row_gap=38,
         pillar_frac=0.58, det_jitter=6.0,
     )
 
@@ -59,7 +63,7 @@ def frame_tensors(scene, f, cfg):
     img = scene.render(f).astype(np.float32) / 255.0
     img = (img - MEAN) / STD
     gt = scene.gt_at(f)
-    n_slots = N_OBJ
+    n_slots = N_SLOTS
     boxes = np.full((n_slots, 4), 0.5, np.float32)
     valid = np.zeros((n_slots,), bool)
     tids = np.zeros((n_slots,), np.int32)
@@ -92,15 +96,13 @@ def main():
     log(f"scene: {N_FRAMES} frames {H}x{W}, {N_OBJ} objects, "
         f"occlusion spans {scene.occlusion_spans()}")
 
+    # EXACTLY the bench_train/B-scaling config (defaults: dropout 0.1,
+    # FN 0.4 / FP 0.1, lr 2e-4) — any changed constant (even an lr value)
+    # re-keys the train-step compile and forfeits the persistent cache
     cfg = load_config(
         "train.yaml",
         named=["train_deformable", "train_tracking", "train_multi_frame"],
-    ).replace(
-        dataset="mot", compute_dtype="bfloat16", remat=True, dropout=0.0,
-        lr=1e-4 * 2, lr_backbone=2e-5, lr_drop=1,
-        track_query_false_negative_prob=0.4,
-        track_query_false_positive_prob=0.1,
-    )
+    ).replace(dataset="mot", compute_dtype="bfloat16", remat=True)
     model, criterion, _ = build_model(cfg)
 
     frames_np = {}
@@ -129,7 +131,9 @@ def main():
         start_it = 0
         b0, t0 = get_frame(1)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), b0, t0)
-    tx = build_optimizer(cfg, params, steps_per_epoch=LR_DROP_AT)
+    # steps_per_epoch=100 matches the cached compile (lr drop at
+    # lr_drop(40) x 100 = 4000 — effectively no drop within this session)
+    tx = build_optimizer(cfg, params, steps_per_epoch=100)
     state = TrainState.create(params, tx)
     # NOTE on resume: the optimizer state restarts fresh (adam moments
     # reset) — acceptable for this benchmark session; avoid resuming
@@ -171,6 +175,16 @@ def main():
         log(f"train done: loss {float(losses['loss']):.3f} "
             f"in {time.time() - t_start:.0f}s")
 
+    # BMH_INT8=1: rebuild the model for INFERENCE with int8 decoder quad
+    # tables (dec_msda_int8 — inference-only quantization, params are
+    # unchanged) to measure its accuracy cost on the same checkpoint.
+    infer_model = model
+    if os.environ.get("BMH_INT8"):
+        log("tracker: dec_msda_int8=true (lossy A/B)")
+        infer_model, _, _ = build_model(
+            cfg.replace(dec_msda_int8=True, allow_lossy=True)
+        )
+
     post = build_postprocessors(cfg)["bbox"]
     tracker_cfg = dict(
         detection_obj_score_thresh=0.2, track_obj_score_thresh=0.3,
@@ -180,7 +194,7 @@ def main():
         reid_greedy_matching=True, prev_frame_dist=1, steps_termination=1,
     )
     tracker = Tracker(
-        model, state.params, post, tracker_cfg,
+        infer_model, state.params, post, tracker_cfg,
         num_object_queries=int(cfg.num_queries),
         num_track_slots=int(cfg.max_track_queries),
         hidden_dim=int(cfg.hidden_dim),
@@ -224,7 +238,7 @@ def main():
 
     print(json.dumps(
         {
-            "mota": m["mota"], "idf1": m["idf1"],
+            "mota": m["mota"], "idf1": m["idf1"], "hota": m["hota"],
             "num_switches": m["num_switches"], "reids": tracker.num_reids,
             "train_s": round(time.time() - t_start - track_s),
             "track_hz": round(N_FRAMES / track_s, 2),

@@ -158,3 +158,98 @@ def test_mostly_tracked_and_lost():
     assert m["mostly_lost"] == 1
     assert m["partially_tracked"] == 0
     assert m["num_misses"] == 3
+
+
+# ---- HOTA (Luiten et al. 2021, TrackEval algorithm) ------------------
+
+
+def _sim_update(acc, gt_ids, hyp_ids, gt_boxes, hyp_boxes):
+    from kinet_tpu.utils.mot_metrics import iou_matrix
+
+    acc.update(
+        gt_ids, hyp_ids, iou_distance(gt_boxes, hyp_boxes),
+        sim=iou_matrix(gt_boxes, hyp_boxes),
+    )
+
+
+def test_hota_perfect():
+    acc = MOTAccumulator()
+    gt = np.stack([box(0, 0), box(50, 50)])
+    for _ in range(6):
+        _sim_update(acc, [1, 2], ["a", "b"], gt, gt)
+    m = acc.hota()
+    assert m["hota"] == 1.0 and m["det_a"] == 1.0 and m["ass_a"] == 1.0
+    assert m["loc_a"] == 1.0
+
+
+def test_hota_id_switch_halfway():
+    # one gt track of 8 frames, hypothesis splits into two ids at frame 4:
+    # DetA = 1 (every det matched, perfect boxes); for every TP pair
+    # TPA = 4, FNA = 4 (frames matched to the other id), FPA = 0
+    # -> A(c) = 4/8 = 0.5 at every alpha -> HOTA = sqrt(0.5)
+    acc = MOTAccumulator()
+    g = np.stack([box(0, 0)])
+    for f in range(8):
+        _sim_update(acc, [1], ["a" if f < 4 else "b"], g, g)
+    m = acc.hota()
+    np.testing.assert_allclose(m["det_a"], 1.0)
+    np.testing.assert_allclose(m["ass_a"], 0.5)
+    np.testing.assert_allclose(m["hota"], np.sqrt(0.5))
+
+
+def test_hota_half_frames_missed():
+    # one gt track of 8 frames, hypothesis present only on 4 (same id,
+    # perfect boxes): DetA = 4/8; the pair has TPA=4, FNA=4 (unmatched gt
+    # frames count), FPA=0 -> AssA = 0.5 -> HOTA = 0.5
+    acc = MOTAccumulator()
+    g = np.stack([box(0, 0)])
+    e = np.zeros((0, 4))
+    for f in range(8):
+        if f % 2 == 0:
+            _sim_update(acc, [1], ["a"], g, g)
+        else:
+            _sim_update(acc, [1], [], g, e)
+    m = acc.hota()
+    np.testing.assert_allclose(m["det_a"], 0.5)
+    np.testing.assert_allclose(m["ass_a"], 0.5)
+    np.testing.assert_allclose(m["hota"], 0.5)
+
+
+def test_hota_localization_threshold_sweep():
+    # constant IoU = 0.6 between the only gt and the only hypothesis:
+    # TP at alpha <= 0.6 (12 of the 19 alphas 0.05..0.95), FN+FP above.
+    # HOTA_a = 1 for the 12 passing alphas (single pair, perfect assoc),
+    # 0 for the rest -> HOTA = 12/19.  IoU(10x10 vs shifted 10x10 by
+    # 2.5px in x): inter 7.5*10 = 75, union 125 -> 0.6 exactly.
+    acc = MOTAccumulator()
+    g = np.stack([box(0, 0)])
+    h = np.stack([box(2.5, 0)])
+    for _ in range(5):
+        _sim_update(acc, [1], ["a"], g, h)
+    m = acc.hota()
+    np.testing.assert_allclose(m["det_a"], 12 / 19)
+    np.testing.assert_allclose(m["hota"], 12 / 19)
+    np.testing.assert_allclose(m["loc_a"], (12 * 0.6 + 7 * 1.0) / 19)
+
+
+def test_hota_prefers_globally_consistent_match():
+    # two gt tracks cross paths; hyp ids stay consistent with their own
+    # gt through the crossing frame where both pairings have equal IoU.
+    # The global alignment score must break the per-frame tie toward the
+    # trajectory-consistent assignment -> AssA stays 1.
+    acc = MOTAccumulator()
+    for f in range(7):
+        x1, x2 = f * 10.0, 60 - f * 10.0  # cross exactly at f=3
+        g = np.stack([box(x1, 0), box(x2, 0)])
+        _sim_update(acc, [1, 2], ["a", "b"], g, g)
+    m = acc.hota()
+    assert m["hota"] == 1.0 and m["ass_a"] == 1.0
+
+
+def test_hota_in_summary():
+    acc = MOTAccumulator()
+    g = np.stack([box(0, 0)])
+    for _ in range(3):
+        _sim_update(acc, [1], ["a"], g, g)
+    summary = evaluate_mot_accums([acc], ["s"], generate_overall=False)
+    assert summary["s"]["hota"] == 1.0
