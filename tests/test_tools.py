@@ -21,6 +21,13 @@ def test_parse_mot_results_to_tex():
     tex = to_tex(summary, caption="MOT17 test")
     assert "62.30" in tex and "57.58" in tex and "4018" in tex
     assert tex.count("\\\\") >= 2 and "\\caption{MOT17 test}" in tex
+    assert "HOTA" not in tex  # legacy summaries have no hota column
+
+    # with HOTA (reference MOT20 table carries it,
+    # parse_mot_results_to_tex.py:72-79)
+    summary["MOT17-02"]["hota"] = 0.5467
+    tex = to_tex(summary)
+    assert "HOTA" in tex and "54.67" in tex
 
 
 def test_compute_best_epoch(tmp_path):
