@@ -18,6 +18,8 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_mota_hard.py
 """
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -41,7 +43,7 @@ N_SLOTS = 20  # padded target slots — matches the flagship train-step
 # compile shapes (672x1184, 20 object slots) so the persistent cache
 # from bench_train/B-scaling runs is a HIT (a fresh compile at novel
 # shapes can exceed a whole stage through the tunnel)
-ITERS = int(__import__("os").environ.get("BMH_ITERS", "2400"))
+ITERS = int(os.environ.get("BMH_ITERS", "2400"))
 LR_DROP_AT = int(ITERS * 0.8)
 
 
@@ -103,6 +105,17 @@ def main():
         "train.yaml",
         named=["train_deformable", "train_tracking", "train_multi_frame"],
     ).replace(dataset="mot", compute_dtype="bfloat16", remat=True)
+    # BMH_VARIANT='{"enc_msda_shared_locs": true}': accuracy-gate a
+    # semantic model variant — applied at BUILD time so training AND
+    # inference run the variant (unlike BMH_INT8, which is an
+    # inference-only rebuild on the exact-trained checkpoint). Point
+    # BMH_PARAMS at a variant-specific file: the exact-model checkpoint
+    # is not transferable (param shapes/semantics differ).
+    variant = json.loads(os.environ.get("BMH_VARIANT", "{}"))
+    if variant:
+        log(f"variant overrides: {variant}")
+        variant.setdefault("allow_lossy", True)
+        cfg = cfg.replace(**variant)
     model, criterion, _ = build_model(cfg)
 
     frames_np = {}
@@ -112,7 +125,6 @@ def main():
             frames_np[f] = frame_tensors(scene, f, cfg)
         return frames_np[f]
 
-    import os
     import pickle
 
     cache = os.environ.get("BMH_PARAMS", "/tmp/bmh_params.pkl")
@@ -234,7 +246,6 @@ def main():
     accum = get_mot_accum(tracker.get_results(), _Seq(scene))
     summary = evaluate_mot_accums([accum], ["hard"], generate_overall=False)
     m = summary["hard"]
-    import json
 
     print(json.dumps(
         {
