@@ -64,6 +64,7 @@ class DeformableDETR(nn.Module):
     enc_msda_int8: bool = False  # encoder MSDA: int8 values at inference
     enc_lite: bool = False  # Lite-DETR interleaved high-level update
     enc_lite_klevels: int = 0  # low-level update: sample k finest levels
+    enc_lite_high_klevels: int = 0  # high-level updates: k finest levels
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
     dec_msda_int8: bool = False  # int8 decoder quad tables (lossy, infer)
     msda_ref_normalizer: bool = False  # fork's (H, W) offset normalizer
@@ -140,6 +141,7 @@ class DeformableDETR(nn.Module):
             enc_int8=self.enc_msda_int8,
             enc_lite=self.enc_lite,
             enc_lite_klevels=self.enc_lite_klevels,
+            enc_lite_high_klevels=self.enc_lite_high_klevels,
             dec_gather_raw=self.dec_gather_raw,
             dec_int8_quad=self.dec_msda_int8,
             msda_ref_normalizer=self.msda_ref_normalizer,

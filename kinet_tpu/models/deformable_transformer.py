@@ -344,6 +344,15 @@ class DeformableEncoder(nn.Module):
     # dropping sampled levels cuts its rows proportionally; the coarse
     # levels it stops seeing were themselves refreshed from level-0 values.
     lite_low_klevels: int = 0
+    # Restrict the HIGH-level (interleaved) updates to sample only from the
+    # k finest levels (0 = all): the high-level layers are the dominant
+    # per-frame MSDA cost (5 of 6 layers at flagship), and their rows
+    # scale with sampled levels x points. k=2 keeps the fine-detail flow
+    # (strides 8/16) that Lite-DETR's high-level update exists to collect
+    # while dropping the coarse-on-coarse samples, whose content the
+    # high-level queries already carry via self-residuals. SEMANTIC change:
+    # accuracy-gate with the hard synthetic-MOT benchmark before adopting.
+    lite_high_klevels: int = 0
     ref_normalizer: bool = False
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM during
     # training — the encoder activations at 800px are the memory peak)
@@ -367,25 +376,35 @@ class DeformableEncoder(nn.Module):
                 and i == self.num_layers - 1
                 and len(spatial_shapes) > 1
             )
+            high_lite = (
+                self.lite
+                and i < self.num_layers - 1
+                and len(spatial_shapes) > 1
+            )
             k = len(spatial_shapes)
             if last_lite and self.lite_low_klevels:
                 k = min(self.lite_low_klevels, k)
+            if high_lite and self.lite_high_klevels:
+                k = min(self.lite_high_klevels, k)
             layer = layer_cls(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
-                k if last_lite else self.n_levels, self.n_heads,
-                self.n_points,
+                k if (last_lite or high_lite) else self.n_levels,
+                self.n_heads, self.n_points,
                 shared_locs=self.shared_locs, top_k=self.top_k,
                 int8_values=self.int8_values,
                 ref_normalizer=self.ref_normalizer,
                 name=f"layer{i}",
             )
-            if self.lite and i < self.num_layers - 1 and len(spatial_shapes) > 1:
+            if high_lite:
+                s_k = int(sum(h * w for h, w in spatial_shapes[:k]))
                 high = layer(
                     out[:, split0:],
                     pos[:, split0:] if pos is not None else None,
-                    ref[:, split0:], spatial_shapes, padding_mask,
+                    ref[:, split0:, :k], spatial_shapes[:k],
+                    padding_mask[:, :s_k] if padding_mask is not None
+                    else None,
                     deterministic,
-                    out,  # src_value: full token sequence as values
+                    out[:, :s_k],  # src_value: the k finest levels
                 )
                 out = jnp.concatenate([out[:, :split0], high], axis=1)
             elif last_lite:
@@ -568,6 +587,7 @@ class DeformableTransformer(nn.Module):
     enc_int8: bool = False  # encoder MSDA: int8 value tables at inference
     enc_lite: bool = False  # Lite-DETR interleaved high-level update
     enc_lite_klevels: int = 0  # low-level update: sample k finest levels
+    enc_lite_high_klevels: int = 0  # high-level updates: k finest levels
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
     dec_int8_quad: bool = False  # int8 decoder quad tables at inference
     # (accuracy-unsafe: quantization error; gate via allow_lossy)
@@ -584,6 +604,7 @@ class DeformableTransformer(nn.Module):
             self.enc_n_points, shared_locs=self.enc_shared_locs,
             top_k=self.enc_topk, int8_values=self.enc_int8,
             lite=self.enc_lite, lite_low_klevels=self.enc_lite_klevels,
+            lite_high_klevels=self.enc_lite_high_klevels,
             ref_normalizer=self.msda_ref_normalizer,
             remat=self.remat,
         )

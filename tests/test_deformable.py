@@ -313,3 +313,32 @@ def test_dec_msda_int8_close_to_exact():
     o2q = two_frames(model_q)
     db2 = float(jnp.max(jnp.abs(o2q["pred_boxes"] - o2f["pred_boxes"])))
     assert db2 < 0.05, db2
+
+
+def test_enc_lite_high_klevels():
+    """High-level (interleaved) encoder updates restricted to the k finest
+    sampled levels (enc_lite_high_klevels): the offset/attention heads of
+    the high-level layers shrink (fewer levels), forward + grads stay
+    finite, and the restriction changes the function (vs enc_lite alone)."""
+    base = dcfg(enc_lite=True, enc_layers=3)
+    restr = base.replace(enc_lite_high_klevels=2)
+    batch, targets = make_batch(jax.random.PRNGKey(0))
+
+    m0, crit, _ = build_model(base)
+    m1, _, _ = build_model(restr)
+    p0 = jax.jit(m0.init)(jax.random.PRNGKey(1), batch, targets)
+    p1 = jax.jit(m1.init)(jax.random.PRNGKey(1), batch, targets)
+    n0 = sum(x.size for x in jax.tree_util.tree_leaves(p0))
+    n1 = sum(x.size for x in jax.tree_util.tree_leaves(p1))
+    assert n1 < n0  # smaller sampling heads on the high-level layers
+
+    out = jax.jit(m1.apply)(p1, batch, targets)
+    assert bool(jnp.isfinite(out["pred_boxes"]).all())
+
+    def loss_fn(p):
+        o = m1.apply(p, batch, targets)
+        return crit.total_loss(crit(o, targets))
+
+    g = jax.jit(jax.grad(loss_fn))(p1)
+    gnorm = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
+    assert jnp.isfinite(gnorm) and gnorm > 0
