@@ -90,10 +90,16 @@ class _Prefetcher:
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             self._exc = e
         finally:
-            try:
-                self._q.put_nowait(None)
-            except queue.Full:
-                pass  # close() drains; the worker is exiting either way
+            # the sentinel MUST be delivered (a dropped sentinel deadlocks
+            # the consumer at q.get() once it drains the remaining blobs —
+            # hit in practice when the consumer lags the producer by >= depth
+            # at end-of-sequence); retry until it lands or close() stops us
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def close(self):
         """Unblock and join the worker (idempotent; safe mid-iteration)."""

@@ -243,3 +243,35 @@ def test_prefetcher_close_unblocks_worker():
     except RuntimeError:
         pass
     assert not frames._t.is_alive()
+
+
+def test_prefetcher_slow_consumer_gets_sentinel():
+    """End-of-sequence sentinel must be delivered even when the consumer
+    lags the producer by >= depth at worker exit (queue full). The first
+    fix dropped the sentinel via put_nowait in that race, deadlocking the
+    consumer at q.get() — seen in a real suite run under CPU contention."""
+    import threading
+    import time
+
+    from kinet_tpu.engine.track import _Prefetcher
+
+    class Seq:
+        def __getitem__(self, i):
+            return {"i": i}
+
+    pf = _Prefetcher(Seq(), 0, 3, depth=1)
+    time.sleep(0.5)  # let the producer fill the queue and reach its exit
+    got = []
+
+    def consume():
+        for blob in pf:
+            got.append(blob["i"])
+            time.sleep(0.05)  # stay slower than the producer
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=10.0)
+    hung = t.is_alive()
+    pf.close()
+    assert not hung, "consumer never received the end-of-sequence sentinel"
+    assert got == [0, 1, 2]
