@@ -106,6 +106,15 @@ def trained_hard_model():
         track_query_false_negative_prob=0.4,
         track_query_false_positive_prob=0.1,
         lr_drop=1,
+        # pin the encoder to all-levels high-level updates: this gate
+        # exercises the TRACKER machinery (reid, identity across
+        # occlusion, public-det filtering) with a deterministic tiny-model
+        # recipe; the flagship enc_lite_high_klevels=2 default is
+        # accuracy-gated at chip scale instead (scripts/bench_mota_hard.py
+        # sessions, PLAN.md: k=2 scores BETTER than all-levels on the
+        # 100-frame 672x1184 scene, while at hidden-36 toy scale the same
+        # flag lands poorly — tiny trajectories do not transfer)
+        enc_lite_high_klevels=0,
     )
     model, criterion, _ = build_model(cfg)
     frames = [
