@@ -62,6 +62,11 @@ def test_crowdhuman_roundtrip(tmp_path):
         max_objects=6, max_track_queries=6,
         **{"img_transform.max_size": 128, "img_transform.val_width": 64},
     )
+    # the dataset's per-item augmentation base seed is drawn from the
+    # process-global RNG at construction (train.py seeds it); pin it here
+    # so the random crop draw is suite-order-independent (an unlucky state
+    # can crop out image 0's single trainable box)
+    np.random.seed(7)
     ds = build_crowdhuman("train", cfg)
     assert len(ds) == 3
     item = ds[0]
