@@ -6,6 +6,7 @@ accuracy regressions from perf surgery: encoder caching, MSDA formulation
 changes etc. all sit in this loop.
 """
 import configparser
+import hashlib
 
 import numpy as np
 import pytest
@@ -133,27 +134,49 @@ def test_overfit_then_track_scores_mota(synthetic_seq, tmp_path):
         return batch, targets
 
     frames = [frame_tensors(f) for f in range(N_FRAMES)]
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), *frames[0])
-    tx = build_optimizer(cfg, params, steps_per_epoch=1000)
-    state = TrainState.create(params, tx)
-    step = make_train_step(model, criterion, tx, cfg)
 
-    rng = jax.random.PRNGKey(1)
-    last = None
-    for it in range(350):
-        f = 1 + (it % (N_FRAMES - 1))
-        batch, targets = frames[f]
-        pbatch, ptargets = frames[f - 1]
-        state, losses = step(
-            state, jax.random.fold_in(rng, it), batch, targets, pbatch, ptargets
-        )
-        last = float(losses["loss"])
-    assert np.isfinite(last)
+    def train():
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), *frames[0])
+        tx = build_optimizer(cfg, params, steps_per_epoch=1000)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, criterion, tx, cfg)
+
+        rng = jax.random.PRNGKey(1)
+        last = None
+        for it in range(350):
+            f = 1 + (it % (N_FRAMES - 1))
+            batch, targets = frames[f]
+            pbatch, ptargets = frames[f - 1]
+            state, losses = step(
+                state, jax.random.fold_in(rng, it), batch, targets, pbatch,
+                ptargets,
+            )
+            last = float(losses["loss"])
+        assert np.isfinite(last)
+        return state.params
+
+    # cached across suite runs on an UNCHANGED tree only: the key hashes
+    # every kinet_tpu/cfgs source plus the scene pixels and the recipe
+    # (_train_cache.py) — a code change always retrains
+    from _train_cache import cached_train
+
+    trained = cached_train(
+        {
+            "test": "synthetic_mota",
+            "cfg": cfg.to_dict(),
+            "iters": 350,
+            "scene": hashlib.sha256(
+                b"".join(_render(f).tobytes() for f in range(N_FRAMES))
+            ).hexdigest(),
+            "boxes": [_boxes_at(f) for f in range(N_FRAMES)],
+        },
+        train,
+    )
 
     ckpt_dir = tmp_path / "model"
     save_config(cfg, ckpt_dir)
     mgr = CheckpointManager(str(ckpt_dir))
-    mgr._save(mgr.dir / "checkpoint", {"params": state.params, "epoch": 0})
+    mgr._save(mgr.dir / "checkpoint", {"params": trained, "epoch": 0})
 
     track_cfg = load_config("track.yaml").replace(
         obj_detect_checkpoint_dir=str(ckpt_dir),

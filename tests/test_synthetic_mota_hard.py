@@ -121,26 +121,51 @@ def trained_hard_model():
         _frame_tensors(scene, f, hidden_dim=36, n_slots=3, n_track_queries=8)
         for f in range(scene.n_frames)
     ]
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), *frames[1])
-    tx = build_optimizer(cfg, params, steps_per_epoch=620)  # lr drop @620
-    state = TrainState.create(params, tx)
-    step = make_train_step(model, criterion, tx, cfg)
-    rng = jax.random.PRNGKey(1)
-    last = None
-    for it in range(780):
-        f = it % scene.n_frames
-        batch, targets = frames[f]
-        pbatch, ptargets = frames[max(f - 1, 0)]
-        if f == 0 or it % 8 == 7:
-            # sequence-start simulation (see module docstring)
-            ptargets = ptargets.replace(valid=ptargets.valid & False)
-        state, losses = step(
-            state, jax.random.fold_in(rng, it), batch, targets, pbatch,
-            ptargets,
-        )
-        last = float(losses["loss"])
-    assert np.isfinite(last)
-    return scene, cfg, model, state.params
+
+    def train():
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), *frames[1])
+        tx = build_optimizer(cfg, params, steps_per_epoch=620)  # drop @620
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, criterion, tx, cfg)
+        rng = jax.random.PRNGKey(1)
+        last = None
+        for it in range(780):
+            f = it % scene.n_frames
+            batch, targets = frames[f]
+            pbatch, ptargets = frames[max(f - 1, 0)]
+            if f == 0 or it % 8 == 7:
+                # sequence-start simulation (see module docstring)
+                ptargets = ptargets.replace(valid=ptargets.valid & False)
+            state, losses = step(
+                state, jax.random.fold_in(rng, it), batch, targets, pbatch,
+                ptargets,
+            )
+            last = float(losses["loss"])
+        assert np.isfinite(last)
+        return state.params
+
+    # cached across suite runs on an UNCHANGED tree only (see
+    # _train_cache.py: the key hashes every kinet_tpu/cfgs source plus
+    # the scene and recipe — a code change always retrains)
+    import hashlib
+
+    from _train_cache import cached_train
+
+    params = cached_train(
+        {
+            "test": "synthetic_mota_hard",
+            "cfg": cfg.to_dict(),
+            "iters": 780,
+            "scene": hashlib.sha256(
+                b"".join(
+                    scene.render(f).tobytes() for f in range(scene.n_frames)
+                )
+            ).hexdigest(),
+            "dets": [scene.dets[f] for f in range(scene.n_frames)],
+        },
+        train,
+    )
+    return scene, cfg, model, params
 
 
 def _run_tracker(scene, cfg, model, params, tracker_over=None):
