@@ -21,7 +21,10 @@ def test_dryrun_multichip_standalone():
     env["XLA_FLAGS"] = ""
     env["PYTHONPATH"] = REPO
     # reuse the suite's persistent compile cache in the child
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/kinet_jax_cache"
+    # (machine-fingerprinted — see kinet_tpu/utils/hostcache.py)
+    from kinet_tpu.utils.hostcache import cache_dir
+
+    env["JAX_COMPILATION_CACHE_DIR"] = cache_dir()
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     # n=8 matches the driver's invocation AND shares compiles with any
     # other 8-virtual-device run through the persistent cache — this is
