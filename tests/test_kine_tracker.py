@@ -1,4 +1,5 @@
 """TrackerKinematic state-machine tests with a deterministic stub model."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -154,7 +155,7 @@ def test_kine_tracker_real_dual_stream_model():
     )
     import jax.random as jr
 
-    params = model.init(jr.PRNGKey(0), kb, tg)
+    params = jax.jit(model.init)(jr.PRNGKey(0), kb, tg)
     # bias the class head toward the person class so the untrained model
     # emits confident detections (the test drives the tracker integration,
     # not accuracy)

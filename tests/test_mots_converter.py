@@ -116,7 +116,7 @@ def test_mots_dataset_and_mask_train_step(synthetic_mots, tmp_path):
     assert targets.masks.shape[:2] == (1, 4)
 
     model, criterion, _ = build_model(cfg)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), batch_dict["image"], targets
     )
     tx = build_optimizer(cfg, params, steps_per_epoch=10)

@@ -27,7 +27,7 @@ def test_mots_tracking_and_rle_output(tmp_path):
         jnp.full((1, 2, 4), 0.5), jnp.zeros((1, 2), jnp.int32),
         jnp.ones((1, 2), bool), num_track_queries=6, hidden_dim=32,
     )
-    params = model.init(jax.random.PRNGKey(0), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch, targets)
 
     tracker_cfg = dict(
         detection_obj_score_thresh=0.0,  # random weights: accept anything

@@ -1,6 +1,11 @@
 """Learning-dynamics sanity: a tiny DETR must overfit one synthetic image
 (loss decreases substantially) — end-to-end check that matcher, losses,
-param groups and optimizer interact correctly."""
+param groups and optimizer interact correctly.
+
+The 40-step loops re-derive bit-identical loss traces on an unchanged
+tree, so they go through tests/_train_cache.py like the synthetic-MOTA
+gates: any source/config change retrains, repeat runs assert on the
+cached trace."""
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +14,34 @@ from kinet_tpu.engine.state import TrainState, build_optimizer
 from kinet_tpu.engine.train_step import make_train_step
 from kinet_tpu.models.build import build_model
 from kinet_tpu.structs import ImageBatch, Targets
+
+from _train_cache import cached_train
+
+
+def _overfit_trace(cfg, model, criterion, batch, targets, steps=40):
+    """Run the overfit loop, returning (first, last, last_loss_bbox)."""
+
+    def run():
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+        tx = build_optimizer(cfg, params, steps_per_epoch=10_000)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, criterion, tx, cfg)
+        first = last = losses = None
+        for _ in range(steps):
+            state, losses = step(state, jax.random.PRNGKey(2), batch, targets)
+            if first is None:
+                first = float(losses["loss"])
+            last = float(losses["loss"])
+        return {
+            "first": first,
+            "last": last,
+            "loss_bbox": float(losses["loss_bbox"]),
+        }
+
+    return cached_train(
+        {"recipe": "overfit_trace", "cfg": cfg.to_dict(), "steps": steps},
+        run,
+    )
 
 
 def test_detr_overfits_single_image():
@@ -31,21 +64,10 @@ def test_detr_overfits_single_image():
         num_track_queries=0,
         hidden_dim=32,
     )
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    tx = build_optimizer(cfg, params, steps_per_epoch=10_000)
-    state = TrainState.create(params, tx)
-    step = make_train_step(model, criterion, tx, cfg)
-
-    first = None
-    last = None
-    for i in range(40):
-        state, losses = step(state, jax.random.PRNGKey(2), batch, targets)
-        if first is None:
-            first = float(losses["loss"])
-        last = float(losses["loss"])
-    assert last < first * 0.55, (first, last)
+    trace = _overfit_trace(cfg, model, criterion, batch, targets)
+    assert trace["last"] < trace["first"] * 0.55, trace
     # box loss specifically must shrink (localization is learning)
-    assert float(losses["loss_bbox"]) < 0.35, float(losses["loss_bbox"])
+    assert trace["loss_bbox"] < 0.35, trace
 
 
 def test_deformable_variants_overfit_single_image():
@@ -81,15 +103,5 @@ def test_deformable_variants_overfit_single_image():
         num_track_queries=0,
         hidden_dim=32,
     )
-    params = model.init(jax.random.PRNGKey(1), batch, targets)
-    tx = build_optimizer(cfg, params, steps_per_epoch=10_000)
-    state = TrainState.create(params, tx)
-    step = make_train_step(model, criterion, tx, cfg)
-
-    first = last = None
-    for i in range(40):
-        state, losses = step(state, jax.random.PRNGKey(2), batch, targets)
-        if first is None:
-            first = float(losses["loss"])
-        last = float(losses["loss"])
-    assert last < first * 0.55, (first, last)
+    trace = _overfit_trace(cfg, model, criterion, batch, targets)
+    assert trace["last"] < trace["first"] * 0.55, trace

@@ -35,7 +35,7 @@ def test_optimizer_param_groups():
         jnp.full((1, 2, 4), 0.5), jnp.zeros((1, 2), jnp.int32),
         jnp.ones((1, 2), bool), num_track_queries=0, hidden_dim=32,
     )
-    params = model.init(jax.random.PRNGKey(0), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch, targets)
     labels = param_labels(params)
     flat = jax.tree_util.tree_leaves_with_path(labels)
     groups = {}

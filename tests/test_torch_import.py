@@ -75,7 +75,7 @@ def test_full_state_dict_import():
     t = Targets.create(jnp.full((1, 2, 4), 0.5), jnp.zeros((1, 2), jnp.int32),
                        jnp.ones((1, 2), bool), num_track_queries=0,
                        hidden_dim=32)
-    variables = model.init(jax.random.PRNGKey(0), b, t)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), b, t)
 
     rng = np.random.default_rng(2)
     d = 32

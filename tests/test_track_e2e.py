@@ -92,7 +92,7 @@ def test_full_track_session(synthetic_mot17, tmp_path):
         jnp.full((1, 2, 4), 0.5), jnp.zeros((1, 2), jnp.int32),
         jnp.ones((1, 2), bool), num_track_queries=8, hidden_dim=32,
     )
-    params = model.init(jax.random.PRNGKey(0), batch, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch, targets)
 
     ckpt_dir = tmp_path / "model"
     save_config(train_cfg, ckpt_dir)
@@ -144,7 +144,7 @@ def test_full_kinet_track_session(synthetic_mot17, tmp_path):
         jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
         jnp.zeros((1, 1), bool), num_track_queries=8, hidden_dim=e_dim,
     )
-    params = model.init(jax.random.PRNGKey(0), kb, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), kb, targets)
 
     ckpt_dir = tmp_path / "kinet_model"
     save_config(train_cfg, ckpt_dir)
@@ -195,7 +195,7 @@ def test_full_kinet_dual_stream_track_session(synthetic_mot17, tmp_path):
         jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
         jnp.zeros((1, 1), bool), num_track_queries=8, hidden_dim=e_dim,
     )
-    params = model.init(jax.random.PRNGKey(0), kb, targets)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), kb, targets)
 
     ckpt_dir = tmp_path / "kinet_dual_model"
     save_config(train_cfg, ckpt_dir)
