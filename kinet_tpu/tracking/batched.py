@@ -1,0 +1,144 @@
+"""Batched multi-sequence tracking — TPU throughput mode.
+
+No reference equivalent: the reference tracker (tracker.py:269-557) runs
+sequences strictly one at a time, one forward per frame. On TPU the
+per-frame device cost is partly dispatch/latency-bound (PLAN.md: the
+encoder MSDA gathers amortize strongly with batch — the per-image op cost
+drops ~3.4x from B1 to B8 with per-element unrolling), so stepping N
+sequences in lock-step through ONE batched jitted forward raises
+aggregate frames/sec/chip well beyond the single-stream rate. This is
+the natural serving deployment: multi-camera / multi-clip workloads.
+
+Design: N untouched `Tracker` instances keep their per-sequence host
+state machines; this class only moves WHERE the forward runs. Each step,
+every live tracker stages its padded track-query state
+(`Tracker._build_inputs`), the arrays are concatenated on the batch
+axis, one forward runs, and each tracker consumes its own output row
+(`Tracker._consume`). The encoded-memory / position caches
+(`cache_prev_encoder`) live here as stacked [N, ...] arrays.
+
+Constraints: all sequences in a batch must share the padded image shape
+(group sequences by size bucket — engine/track.py does this); a finished
+sequence's slot keeps riding with its last frame's inputs, outputs
+discarded (no recompile for a shrinking batch).
+"""
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from .tracker import Tracker
+
+
+class BatchedTracker:
+    def __init__(
+        self,
+        model,
+        params,
+        postprocess,
+        tracker_cfg: dict,
+        *,
+        num_object_queries: int,
+        num_track_slots: int,
+        hidden_dim: int,
+        n_sequences: int,
+        overflow_boxes: bool = False,
+        generate_attention_maps: bool = False,
+    ):
+        self.trackers = [
+            Tracker(
+                model, params, postprocess, tracker_cfg,
+                num_object_queries=num_object_queries,
+                num_track_slots=num_track_slots,
+                hidden_dim=hidden_dim,
+                overflow_boxes=overflow_boxes,
+                generate_attention_maps=generate_attention_maps,
+            )
+            for _ in range(n_sequences)
+        ]
+        self.params = params
+        # one shared jitted forward; jit specializes per batch size, so a
+        # BatchedTracker(B) and plain Trackers (B=1) coexist in one cache
+        self._fwd = self.trackers[0]._fwd
+        self._prev_frame_dist = self.trackers[0].prev_frame_dist
+        self.reset()
+
+    @property
+    def n_sequences(self) -> int:
+        return len(self.trackers)
+
+    def reset(self, hard: bool = True):
+        for t in self.trackers:
+            t.reset(hard)
+        self._prev_features = deque([None], maxlen=self._prev_frame_dist)
+        self._prev_memory = deque([None], maxlen=self._prev_frame_dist)
+        self._pos_cache = None
+        self._last_inputs: list[dict | None] = [None] * len(self.trackers)
+
+    def step(self, blobs: list):
+        """blobs[i]: the next frame blob of sequence i, or None once that
+        sequence is finished (its slot repeats its last inputs; outputs
+        are discarded)."""
+        assert len(blobs) == len(self.trackers), (len(blobs), len(self.trackers))
+        inputs = []
+        for i, (tr, blob) in enumerate(zip(self.trackers, blobs)):
+            if blob is None:
+                assert self._last_inputs[i] is not None, (
+                    f"sequence {i} finished before its first frame"
+                )
+                inputs.append(self._last_inputs[i])
+                continue
+            inp = tr._build_inputs(blob)
+            inputs.append(inp)
+            self._last_inputs[i] = inp
+        stacked = {
+            k: np.concatenate([inp[k] for inp in inputs], axis=0)
+            for k in inputs[0]
+        }
+        batch, targets, orig_size = Tracker.make_device_inputs(stacked)
+        res = self._fwd(
+            self.params, batch, targets, orig_size,
+            self._prev_features[0], self._prev_memory[0], self._pos_cache,
+        )
+        for i, (tr, blob) in enumerate(zip(self.trackers, blobs)):
+            if blob is None:
+                continue
+            out = {k: np.asarray(res[k][i]) for k in Tracker._ROW_KEYS}
+            for k in Tracker._ROW_KEYS_OPT:
+                if k in res:
+                    out[k] = np.asarray(res[k][i])
+            tr._consume(out, blob)
+        if res["frame_features"] is not None:
+            self._prev_features.append(res["frame_features"])
+        if res.get("frame_memory") is not None:
+            self._prev_memory.append(res["frame_memory"])
+        if res.get("pos_cache") is not None:
+            self._pos_cache = res["pos_cache"]
+
+    def get_results(self, i: int):
+        return self.trackers[i].get_results()
+
+
+def run_batched(
+    batched: BatchedTracker, frame_iters: list, num_frames: list
+) -> None:
+    """Drive a BatchedTracker over N frame iterators of differing lengths.
+
+    Steps while at least one sequence has frames left; finished slots ride
+    along with their last inputs (outputs discarded)."""
+    alive = [True] * len(frame_iters)
+    while any(alive):
+        blobs = []
+        for i, it in enumerate(frame_iters):
+            if not alive[i]:
+                blobs.append(None)
+                continue
+            try:
+                blobs.append(next(it))
+            except StopIteration:
+                alive[i] = False
+                blobs.append(None)
+        if not any(b is not None for b in blobs):
+            break
+        batched.step(blobs)

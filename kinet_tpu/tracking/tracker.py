@@ -336,9 +336,13 @@ class Tracker:
         return keep_mask
 
     # ------------------------------------------------------------------
-    def step(self, blob: dict):
-        """blob: images [1,H,W,3] (normalized), pad_mask [1,H,W],
-        orig_size (h, w), dets [K, 4] public detections (xyxy abs)."""
+    def _build_inputs(self, blob: dict) -> dict:
+        """Phase 1 of step(): age inactive tracks and stage the padded
+        track-query state as host [1, ...] numpy arrays.
+
+        Kept numpy (not device arrays) so BatchedTracker (batched.py) can
+        concatenate several trackers' inputs into one batched forward.
+        Stashes the track/new-detection row split on self for _consume."""
         self.inactive_tracks = [
             t
             for t in self.inactive_tracks
@@ -352,6 +356,7 @@ class Tracker:
         all_tracks = self.tracks + self.inactive_tracks
         num_prev = min(len(all_tracks), t_slots)
         all_tracks = all_tracks[:num_prev]
+        self._num_prev = num_prev
 
         tq_embeds = np.zeros((1, t_slots, self.hidden_dim), np.float32)
         tq_boxes = np.full((1, t_slots, 4), 0.5, np.float32)
@@ -364,37 +369,72 @@ class Tracker:
             tq_embeds[0, :num_prev] = np.stack([t.hs_embed for t in all_tracks])
             tq_mask[0, :num_prev] = True
 
+        return {
+            "images": np.asarray(blob["images"]),
+            "pad_mask": np.asarray(blob["pad_mask"]),
+            "tq_embeds": tq_embeds,
+            "tq_boxes": tq_boxes,
+            "tq_mask": tq_mask,
+            "orig_size": np.asarray([[float(h0), float(w0)]], np.float32),
+        }
+
+    @staticmethod
+    def make_device_inputs(inputs: dict):
+        """Host [B, ...] input arrays -> (ImageBatch, Targets, orig_size)."""
+        b, t_slots, hidden = inputs["tq_embeds"].shape
         batch = ImageBatch(
-            images=jnp.asarray(blob["images"]),
-            pad_mask=jnp.asarray(blob["pad_mask"]),
+            images=jnp.asarray(inputs["images"]),
+            pad_mask=jnp.asarray(inputs["pad_mask"]),
         )
         targets = Targets.create(
-            jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
-            jnp.zeros((1, 1), bool),
-            num_track_queries=t_slots, hidden_dim=self.hidden_dim,
+            jnp.zeros((b, 1, 4)), jnp.zeros((b, 1), jnp.int32),
+            jnp.zeros((b, 1), bool),
+            num_track_queries=t_slots, hidden_dim=hidden,
         ).replace(
-            track_query_embeds=jnp.asarray(tq_embeds),
-            track_query_boxes=jnp.asarray(tq_boxes),
-            track_query_mask=jnp.asarray(tq_mask),
+            track_query_embeds=jnp.asarray(inputs["tq_embeds"]),
+            track_query_boxes=jnp.asarray(inputs["tq_boxes"]),
+            track_query_mask=jnp.asarray(inputs["tq_mask"]),
         )
-        orig_size = jnp.asarray([[float(h0), float(w0)]], jnp.float32)
+        return batch, targets, jnp.asarray(inputs["orig_size"])
+
+    _ROW_KEYS = ("scores", "labels", "boxes", "hs_embed")
+    _ROW_KEYS_OPT = ("attention_maps", "mask_probs")
+
+    def step(self, blob: dict):
+        """blob: images [1,H,W,3] (normalized), pad_mask [1,H,W],
+        orig_size (h, w), dets [K, 4] public detections (xyxy abs)."""
+        inputs = self._build_inputs(blob)
+        batch, targets, orig_size = self.make_device_inputs(inputs)
 
         res = self._fwd(
             self.params, batch, targets, orig_size,
             self._prev_features[0], self._prev_memory[0], self._pos_cache,
         )
-        scores = np.asarray(res["scores"][0])
-        labels = np.asarray(res["labels"][0])
-        boxes_all = np.asarray(res["boxes"][0])
-        hs = np.asarray(res["hs_embed"][0])
-        attn_maps = (
-            np.asarray(res["attention_maps"][0])
-            if "attention_maps" in res
-            else None
-        )
-        mask_probs = (
-            np.asarray(res["mask_probs"][0]) if "mask_probs" in res else None
-        )
+        out = {k: np.asarray(res[k][0]) for k in self._ROW_KEYS}
+        for k in self._ROW_KEYS_OPT:
+            if k in res:
+                out[k] = np.asarray(res[k][0])
+        self._consume(out, blob)
+
+        if res["frame_features"] is not None:
+            self._prev_features.append(res["frame_features"])
+        if res.get("frame_memory") is not None:
+            self._prev_memory.append(res["frame_memory"])
+        if res.get("pos_cache") is not None:
+            self._pos_cache = res["pos_cache"]
+
+    def _consume(self, out: dict, blob: dict):
+        """Phase 2 of step(): the host state machine over one sequence's
+        forward outputs (numpy arrays with the batch row already selected)."""
+        h0, w0 = blob["orig_size"]
+        t_slots = self.num_track_slots
+        num_prev = self._num_prev
+        scores = out["scores"]
+        labels = out["labels"]
+        boxes_all = out["boxes"]
+        hs = out["hs_embed"]
+        attn_maps = out.get("attention_maps")
+        mask_probs = out.get("mask_probs")
         if not self.overflow_boxes:
             boxes_all = clip_boxes_np(boxes_all, (h0, w0))
 
@@ -533,12 +573,6 @@ class Tracker:
         for t in self.inactive_tracks:
             t.count_inactive += 1
         self.frame_index += 1
-        if res["frame_features"] is not None:
-            self._prev_features.append(res["frame_features"])
-        if res.get("frame_memory") is not None:
-            self._prev_memory.append(res["frame_memory"])
-        if res.get("pos_cache") is not None:
-            self._pos_cache = res["pos_cache"]
 
         if self.reid_sim_only:
             self.move_tracks_to_inactive(list(self.tracks))
