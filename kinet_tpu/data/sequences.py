@@ -287,10 +287,26 @@ def _expand_mot17(split: str, dets: str):
 
 class TrackDatasetFactory:
     """Dataset-name registry (reference factory.py:15-73): names like
-    'MOT17-ALL-ALL', 'MOT17-02-FRCNN', 'MOT20-TRAIN', 'DEMO'."""
+    'MOT17-ALL-ALL', 'MOT17-02-FRCNN', 'MOT20-TRAIN', 'DEMO'.
 
-    def __init__(self, dataset_name: str, root_dir="data", img_transform=None,
+    Accepts a list of names or a comma-separated string (the reference
+    factory accepts `datasets: Union[str, list]`, factory.py:44-46)."""
+
+    def __init__(self, dataset_name, root_dir="data", img_transform=None,
                  vis_threshold=0.0):
+        if isinstance(dataset_name, str):
+            dataset_name = [n for n in dataset_name.split(",") if n]
+        if len(dataset_name) != 1:
+            self._datasets = []
+            for name in dataset_name:
+                self._datasets.extend(
+                    TrackDatasetFactory(
+                        name, root_dir=root_dir, img_transform=img_transform,
+                        vis_threshold=vis_threshold,
+                    )._datasets
+                )
+            return
+        dataset_name = dataset_name[0]
         self._datasets: List[MOT17Sequence] = []
         parts = dataset_name.split("-")
         if dataset_name.upper().startswith("DEMO"):

@@ -218,6 +218,19 @@ def main_track(cfg, obj_detector_model=None):
     time_total = 0.0
     num_frames = 0
     accums, accum_names = [], []
+
+    batch_n = int(cfg.get("batch_sequences", 1))
+    kinet_mode = cfg.get("kinet", False) or train_cfg.get("kine", False)
+    if batch_n > 1 and not kinet_mode and not cfg.get("load_results_dir"):
+        # throughput mode: step up to batch_n same-shape sequences through
+        # ONE batched forward (tracking/batched.py). Decision logic per
+        # sequence is identical to the single-stream path.
+        time_total, num_frames = _track_batched(
+            cfg, train_cfg, model, params, post, tracker_cfg, seqs,
+            batch_n, accums, accum_names,
+        )
+        seqs = []
+
     for seq in seqs:
         tracker.reset()
         print(f"TRACK SEQ: {seq}", flush=True)
@@ -308,6 +321,89 @@ def main_track(cfg, obj_detector_model=None):
         print(format_summary(summary), flush=True)
         return summary
     return None
+
+
+def _track_batched(
+    cfg, train_cfg, model, params, post, tracker_cfg, seqs, batch_n,
+    accums, accum_names,
+):
+    """Group sequences by padded frame shape and run each group through a
+    BatchedTracker in chunks of at most batch_n. Returns (time, frames)."""
+    from ..tracking.batched import BatchedTracker, run_batched
+
+    groups: dict[tuple, list] = {}
+    for seq in seqs:
+        shape = tuple(seq[0]["images"].shape)
+        groups.setdefault(shape, []).append(seq)
+
+    time_total = 0.0
+    num_frames = 0
+    for shape, group in groups.items():
+        for i0 in range(0, len(group), batch_n):
+            chunk = group[i0 : i0 + batch_n]
+            batched = BatchedTracker(
+                model, params, post, tracker_cfg,
+                num_object_queries=int(train_cfg.num_queries),
+                num_track_slots=int(train_cfg.get("max_track_queries", 100)),
+                hidden_dim=int(train_cfg.hidden_dim),
+                n_sequences=len(chunk),
+                overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
+            )
+            print(
+                f"TRACK BATCH ({len(chunk)} seqs, {shape[1]}x{shape[2]}): "
+                + ", ".join(str(s) for s in chunk),
+                flush=True,
+            )
+            ranges = [
+                (
+                    int(cfg.frame_range.start * len(s)),
+                    int(cfg.frame_range.end * len(s)),
+                )
+                for s in chunk
+            ]
+            t0 = time.time()
+            prefetchers = [
+                _Prefetcher(s, a, b) for s, (a, b) in zip(chunk, ranges)
+            ]
+            try:
+                run_batched(
+                    batched,
+                    [iter(p) for p in prefetchers],
+                    [b - a for a, b in ranges],
+                )
+            finally:
+                for p in prefetchers:
+                    p.close()
+            time_total += time.time() - t0
+            num_frames += sum(b - a for a, b in ranges)
+
+            for i, seq in enumerate(chunk):
+                results = batched.get_results(i)
+                if cfg.get("interpolate", False):
+                    results = interpolate_tracks(results)
+                if cfg.output_dir:
+                    seq.write_results(
+                        results, osp.join(cfg.output_dir, cfg.dataset_name)
+                    )
+                    if cfg.get("write_images", False):
+                        from ..utils.vis import plot_sequence
+
+                        plot_sequence(
+                            results, seq,
+                            osp.join(
+                                cfg.output_dir, cfg.dataset_name, str(seq)
+                            ),
+                            write_images=cfg.write_images,
+                        )
+                if not seq.no_gt:
+                    accums.append(get_mot_accum(results, seq))
+                    accum_names.append(str(seq))
+                print(
+                    f"NUM TRACKS: {len(results)} "
+                    f"ReIDs: {batched.trackers[i].num_reids}",
+                    flush=True,
+                )
+    return time_total, num_frames
 
 
 def main(argv=None):

@@ -20,7 +20,8 @@ for kv in sys.argv[1:]:
     k, v = kv.split("=")
     cfg = cfg.replace(**{k: json.loads(v)})
 model, _, _ = build_model(cfg)
-b, h, w = 1, 800, 1440
+import os
+b, h, w = int(os.environ.get("PROF_B", "1")), 800, 1440
 t = int(cfg.max_track_queries)
 img = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, 3), jnp.float32)
 batch = ImageBatch(images=img.astype(jnp.bfloat16), pad_mask=jnp.zeros((b, h, w), bool))
@@ -29,7 +30,7 @@ tg = Targets.create(
     jnp.zeros((b, 1), bool), num_track_queries=t, hidden_dim=int(cfg.hidden_dim),
 )
 tg = tg.replace(
-    track_query_mask=jnp.arange(t)[None] < 20,
+    track_query_mask=jnp.broadcast_to(jnp.arange(t)[None] < 20, (b, t)),
     track_query_embeds=jnp.zeros((b, t, int(cfg.hidden_dim)), jnp.bfloat16),
     track_query_boxes=jnp.full((b, t, 4), 0.4),
 )

@@ -13,26 +13,22 @@ from PIL import Image
 from kinet_tpu.config import load_config, save_config
 
 
-@pytest.fixture(scope="module")
-def synthetic_mot17(tmp_path_factory):
-    root = tmp_path_factory.mktemp("data")
-    seq_dir = root / "MOT17" / "train" / "MOT17-02-FRCNN"
+def _write_sequence(root, name, n_frames=4, h=96, w=128, seed=0):
+    seq_dir = root / "MOT17" / "train" / name
     img_dir = seq_dir / "img1"
     gt_dir = seq_dir / "gt"
     det_dir = seq_dir / "det"
     for d in (img_dir, gt_dir, det_dir):
         d.mkdir(parents=True)
-    (root / "MOT17" / "test").mkdir(parents=True)
 
-    n_frames, h, w = 4, 96, 128
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     for f in range(1, n_frames + 1):
         arr = (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8)
         Image.fromarray(arr).save(img_dir / f"{f:06d}.jpg")
 
     cfgp = configparser.ConfigParser()
     cfgp["Sequence"] = {
-        "name": "MOT17-02-FRCNN", "imDir": "img1", "frameRate": "30",
+        "name": name, "imDir": "img1", "frameRate": "30",
         "seqLength": str(n_frames), "imWidth": str(w), "imHeight": str(h),
         "imExt": ".jpg",
     }
@@ -48,6 +44,15 @@ def synthetic_mot17(tmp_path_factory):
         for f in range(1, n_frames + 1):
             x = 10 + 5 * f
             fh.write(f"{f},-1,{x},20,30,40,0.9,-1,-1\n")
+
+
+@pytest.fixture(scope="module")
+def synthetic_mot17(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    (root / "MOT17" / "test").mkdir(parents=True)
+    _write_sequence(root, "MOT17-02-FRCNN", seed=0)
+    # a second same-shape sequence for the batched session test
+    _write_sequence(root, "MOT17-04-FRCNN", seed=1)
     return str(root)
 
 
@@ -66,6 +71,57 @@ def test_sequence_parsing(synthetic_mot17):
     assert blob["orig_size"] == (96, 128)
     assert blob["dets"].shape == (1, 4)
     assert 1 in blob["gt"]
+
+
+def test_full_track_session_batched(synthetic_mot17, tmp_path):
+    """batch_sequences=2: both sequences ride ONE batched forward
+    (tracking/batched.py); MOTChallenge files + summary for each."""
+    import jax
+    import jax.numpy as jnp
+
+    from kinet_tpu.engine.track import main_track
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.structs import ImageBatch, Targets
+    from kinet_tpu.utils.checkpoint import CheckpointManager
+
+    train_cfg = load_config("train.yaml", named=["train_tracking"]).replace(
+        dataset="mot", backbone="resnet_test", hidden_dim=32, nheads=2,
+        enc_layers=1, dec_layers=1, dim_feedforward=32, num_queries=8,
+        max_track_queries=8, dropout=0.0,
+        **{"img_transform.max_size": 160, "img_transform.val_width": 96},
+    )
+    model, _, _ = build_model(train_cfg)
+    batch = ImageBatch(
+        images=jnp.zeros((1, 96, 128, 3)),
+        pad_mask=jnp.zeros((1, 96, 128), bool),
+    )
+    targets = Targets.create(
+        jnp.full((1, 2, 4), 0.5), jnp.zeros((1, 2), jnp.int32),
+        jnp.ones((1, 2), bool), num_track_queries=8, hidden_dim=32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch, targets)
+
+    ckpt_dir = tmp_path / "model"
+    save_config(train_cfg, ckpt_dir)
+    mgr = CheckpointManager(str(ckpt_dir))
+    mgr._save(mgr.dir / "checkpoint", {"params": params, "epoch": 0})
+
+    track_cfg = load_config("track.yaml").replace(
+        obj_detect_checkpoint_dir=str(ckpt_dir),
+        data_root_dir=synthetic_mot17,
+        dataset_name="MOT17-02-FRCNN,MOT17-04-FRCNN",
+        output_dir=str(tmp_path / "results"),
+        batch_sequences=2,
+    )
+    summary = main_track(track_cfg)
+    assert summary is not None
+    assert "MOT17-02-FRCNN" in summary and "MOT17-04-FRCNN" in summary
+    out = tmp_path / "results" / "MOT17-02-FRCNN,MOT17-04-FRCNN"
+    for name in ("MOT17-02-FRCNN", "MOT17-04-FRCNN"):
+        res_file = out / f"{name}.txt"
+        assert res_file.exists()
+        for line in open(res_file):
+            assert len(line.strip().split(",")) == 10
 
 
 def test_full_track_session(synthetic_mot17, tmp_path):
