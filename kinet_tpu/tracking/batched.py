@@ -1,13 +1,19 @@
 """Batched multi-sequence tracking — TPU throughput mode.
 
 No reference equivalent: the reference tracker (tracker.py:269-557) runs
-sequences strictly one at a time, one forward per frame. On TPU the
-per-frame device cost is partly dispatch/latency-bound (PLAN.md: the
-encoder MSDA gathers amortize strongly with batch — the per-image op cost
-drops ~3.4x from B1 to B8 with per-element unrolling), so stepping N
-sequences in lock-step through ONE batched jitted forward raises
-aggregate frames/sec/chip well beyond the single-stream rate. This is
-the natural serving deployment: multi-camera / multi-clip workloads.
+sequences strictly one at a time, one forward per frame. Stepping N
+sequences in lock-step through ONE batched jitted forward amortizes
+dispatch latency and fixed per-frame costs — the natural serving
+deployment for multi-camera / multi-clip workloads.
+
+Measured on v5e (scripts/bench_batched_track.py, flagship config): the
+win is RESOLUTION-DEPENDENT because the MSDA gather tables grow with
+batch and fall off the fast gather tier (same mechanism as the training
+batch-scaling finding, PLAN.md):
+  544x960:  B=1 36.9 -> B=2 57.7 aggregate fps (+56%); B=4 regresses
+  800x1440: B=2 already regresses (29.2 aggregate vs 40.3 single) —
+            at flagship resolution keep batch_sequences=1 and scale
+            multi-stream serving across chips instead.
 
 Design: N untouched `Tracker` instances keep their per-sequence host
 state machines; this class only moves WHERE the forward runs. Each step,
