@@ -348,6 +348,9 @@ def _track_batched(
                 hidden_dim=int(train_cfg.hidden_dim),
                 n_sequences=len(chunk),
                 overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
+                generate_attention_maps=bool(
+                    cfg.get("generate_attention_maps", False)
+                ),
             )
             print(
                 f"TRACK BATCH ({len(chunk)} seqs, {shape[1]}x{shape[2]}): "
