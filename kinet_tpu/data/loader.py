@@ -206,24 +206,40 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
 
-        def worker(batch_list):
-            for bi, idxs in batch_list:
-                if stop.is_set():
+        errors: list = []
+
+        def _put(item):
+            # bounded put + stop checks: if the consumer exits early the
+            # worker observes the stop flag instead of blocking forever on
+            # a full queue (same pattern as engine/track._Prefetcher)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
                     return
-                samples = [self.dataset[i] for i in idxs]
-                if self.collate_fn is not None:
-                    q.put((bi, self.collate_fn(samples)))
-                else:
-                    q.put(
-                        (
-                            bi,
-                            collate_tracking(
-                                samples, self.buckets, self.max_objects,
-                                self.num_track_queries, self.hidden_dim,
-                            ),
+                except queue.Full:
+                    continue
+
+        def worker(batch_list):
+            try:
+                for bi, idxs in batch_list:
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset[i] for i in idxs]
+                    if self.collate_fn is not None:
+                        data = self.collate_fn(samples)
+                    else:
+                        data = collate_tracking(
+                            samples, self.buckets, self.max_objects,
+                            self.num_track_queries, self.hidden_dim,
                         )
-                    )
-            q.put(None)
+                    _put((bi, data))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                errors.append(e)
+            finally:
+                # the sentinel MUST land even on a worker exception — a
+                # dead worker without one would hang the consumer at
+                # q.get() forever
+                _put(None)
 
         indexed = list(enumerate(batches))
         shards = [indexed[i :: self.num_workers] for i in range(self.num_workers)]
@@ -253,8 +269,12 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     done += 1
+                    if errors:
+                        raise errors[0]
                     continue
                 bi, data = item
                 pending[bi] = data
+            if errors:
+                raise errors[0]
         finally:
             stop.set()

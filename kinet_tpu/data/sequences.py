@@ -296,6 +296,8 @@ class TrackDatasetFactory:
                  vis_threshold=0.0):
         if isinstance(dataset_name, str):
             dataset_name = [n for n in dataset_name.split(",") if n]
+        if not dataset_name:
+            raise ValueError("empty dataset_name")
         if len(dataset_name) != 1:
             self._datasets = []
             for name in dataset_name:

@@ -253,3 +253,60 @@ def write_mot17_sequence(root, seq_name: str, scene: Scene):
     with open(osp.join(seq_dir, "det", "det.txt"), "w") as fh:
         fh.write("\n".join(det_lines) + "\n")
     return seq_dir
+
+
+# ImageNet normalization (reference datasets/transforms.py Normalize)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def scene_frame_tensors(scene, f: int, *, hidden_dim: int, n_slots: int,
+                        n_track_queries: int):
+    """One scene frame as (ImageBatch, Targets) train-step inputs.
+
+    Shared by the suite gate (tests/test_synthetic_mota_hard.py) and the
+    chip-scale session (scripts/bench_mota_hard.py) so both measure the
+    identical scene-to-tensor pipeline."""
+    import jax.numpy as jnp
+
+    from ..structs import ImageBatch, Targets
+
+    img = scene.render(f).astype(np.float32) / 255.0
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
+    gt = scene.gt_at(f)
+    boxes = np.full((n_slots, 4), 0.5, np.float32)
+    valid = np.zeros((n_slots,), bool)
+    tids = np.zeros((n_slots,), np.int32)
+    for i, (tid, (x, y, w, h)) in enumerate(sorted(gt.items())):
+        boxes[i] = [
+            (x + w / 2) / scene.w, (y + h / 2) / scene.h,
+            w / scene.w, h / scene.h,
+        ]
+        valid[i] = True
+        tids[i] = tid
+    batch = ImageBatch(
+        images=jnp.asarray(img)[None],
+        pad_mask=jnp.zeros((1, scene.h, scene.w), bool),
+    )
+    targets = Targets.create(
+        jnp.asarray(boxes)[None], jnp.zeros((1, n_slots), jnp.int32),
+        jnp.asarray(valid)[None], track_ids=jnp.asarray(tids)[None],
+        num_track_queries=n_track_queries, hidden_dim=hidden_dim,
+    )
+    return batch, targets
+
+
+class SceneGTSeq:
+    """Minimal sequence view over a Scene for get_mot_accum: len() +
+    per-frame GT xyxy dicts (shared by the gate and the chip session)."""
+
+    def __init__(self, scene):
+        self.data = []
+        for f in range(scene.n_frames):
+            gt = {}
+            for tid, (x, y, w, h) in scene.gt_at(f).items():
+                gt[tid] = np.array([x, y, x + w, y + h], np.float32)
+            self.data.append({"gt": gt})
+
+    def __len__(self):
+        return len(self.data)

@@ -338,20 +338,33 @@ def _track_batched(
 
     time_total = 0.0
     num_frames = 0
+    # one BatchedTracker per chunk SIZE, reset between chunks: its jitted
+    # forward is a per-function-object cache, so constructing a fresh one
+    # per chunk would recompile the multi-minute flagship graph every time
+    trackers_by_size: dict[int, BatchedTracker] = {}
     for shape, group in groups.items():
         for i0 in range(0, len(group), batch_n):
             chunk = group[i0 : i0 + batch_n]
-            batched = BatchedTracker(
-                model, params, post, tracker_cfg,
-                num_object_queries=int(train_cfg.num_queries),
-                num_track_slots=int(train_cfg.get("max_track_queries", 100)),
-                hidden_dim=int(train_cfg.hidden_dim),
-                n_sequences=len(chunk),
-                overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
-                generate_attention_maps=bool(
-                    cfg.get("generate_attention_maps", False)
-                ),
-            )
+            batched = trackers_by_size.get(len(chunk))
+            if batched is None:
+                batched = BatchedTracker(
+                    model, params, post, tracker_cfg,
+                    num_object_queries=int(train_cfg.num_queries),
+                    num_track_slots=int(
+                        train_cfg.get("max_track_queries", 100)
+                    ),
+                    hidden_dim=int(train_cfg.hidden_dim),
+                    n_sequences=len(chunk),
+                    overflow_boxes=bool(
+                        train_cfg.get("overflow_boxes", False)
+                    ),
+                    generate_attention_maps=bool(
+                        cfg.get("generate_attention_maps", False)
+                    ),
+                )
+                trackers_by_size[len(chunk)] = batched
+            else:
+                batched.reset()
             print(
                 f"TRACK BATCH ({len(chunk)} seqs, {shape[1]}x{shape[2]}): "
                 + ", ".join(str(s) for s in chunk),
@@ -369,11 +382,7 @@ def _track_batched(
                 _Prefetcher(s, a, b) for s, (a, b) in zip(chunk, ranges)
             ]
             try:
-                run_batched(
-                    batched,
-                    [iter(p) for p in prefetchers],
-                    [b - a for a, b in ranges],
-                )
+                run_batched(batched, [iter(p) for p in prefetchers])
             finally:
                 for p in prefetchers:
                     p.close()

@@ -858,7 +858,17 @@ class DeformableTransformer(nn.Module):
                 if prev_is_current:
                     tbl_prev, s_prev = tbl_cur, s_cur
                 elif prev_quad is not None:
-                    if isinstance(prev_quad, tuple):
+                    # the cached table kind must match the decoder mode: an
+                    # exact-model (plain array) cache fed to the int8 path
+                    # would be silently truncated to garbage, and vice versa
+                    if int8 != isinstance(prev_quad, tuple):
+                        raise ValueError(
+                            "prev_quad cache kind does not match "
+                            "dec_msda_int8 — caches are not transferable "
+                            "between the exact and int8 decoder paths; "
+                            "reset the tracker when toggling the flag"
+                        )
+                    if int8:
                         tbl_prev, s_prev = prev_quad
                     else:
                         tbl_prev = prev_quad.astype(tbl_cur.dtype)

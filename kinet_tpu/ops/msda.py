@@ -671,10 +671,9 @@ def ms_deform_attn_raw_pool(
     # was tried here too for the B>1 train path — the decoder raw table
     # grows 76 MB (B1) -> 305 MB (B4) — but with 8 heads x B elements x 6
     # decoder layers the graph ballooned compile time past usability on
-    # the remote compile service; reverted. The flagship inference/DP path
-    # is batch-1-per-chip, where the batched and unrolled forms coincide.
-    batch_unroll = False
-
+    # the remote compile service; reverted (see git history). The flagship
+    # inference/DP path is batch-1-per-chip, where the batched and
+    # unrolled forms coincide.
     bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
     k_samp = l * p
     r = b * lq * k_samp
@@ -688,29 +687,6 @@ def ms_deform_attn_raw_pool(
         # needed a T(4,128) relayout of the whole gather output (~0.2 ms
         # x heads x layers), and a reduce_window lowered to a conv that
         # was just as slow.
-        if batch_unroll:
-            p_e, ws_e = [], []
-            for e in range(b):
-                rows = (
-                    idx[hm, e].reshape(lq, k_samp).T.reshape(lq * k_samp)
-                )
-                g = _rows_gather(src_quad[e], rows)  # [K*Lq, 4C]
-                wf = (
-                    w_pool[hm, e].transpose(1, 0, 2)
-                    .reshape(lq * k_samp, 4).astype(compute_dtype)
-                )
-                acc = wf[:, 0:1] * g[:, :c]
-                for c4 in range(1, 4):
-                    acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * c : (c4 + 1) * c]
-                p_e.append(
-                    jnp.sum(
-                        acc.reshape(k_samp, lq, c).astype(jnp.float32),
-                        axis=0,
-                    ).astype(compute_dtype)
-                )
-            pooled.append(jnp.stack(p_e, axis=0))
-            wsum.append(jnp.sum(w[hm], axis=(2, 3)))
-            continue
         idx_k = idx[hm].reshape(b, lq, k_samp).transpose(2, 0, 1)
         rows = (idx_k + bofs[None]).reshape(r)
         g = _rows_gather(vq, rows)  # [K*B*Lq, 4C]

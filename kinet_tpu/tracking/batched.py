@@ -126,9 +126,7 @@ class BatchedTracker:
         return self.trackers[i].get_results()
 
 
-def run_batched(
-    batched: BatchedTracker, frame_iters: list, num_frames: list
-) -> None:
+def run_batched(batched: BatchedTracker, frame_iters: list) -> None:
     """Drive a BatchedTracker over N frame iterators of differing lengths.
 
     Steps while at least one sequence has frames left; finished slots ride

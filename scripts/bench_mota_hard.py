@@ -33,10 +33,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from kinet_tpu.config import load_config
-from kinet_tpu.data.synthetic import hard_scene
-
-MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-STD = np.array([0.229, 0.224, 0.225], np.float32)
+from kinet_tpu.data.synthetic import (
+    IMAGENET_MEAN as MEAN,
+    IMAGENET_STD as STD,
+    SceneGTSeq,
+    hard_scene,
+    scene_frame_tensors,
+)
 
 N_FRAMES, H, W, N_OBJ = 100, 672, 1184, 12
 N_SLOTS = 20  # padded target slots — matches the flagship train-step
@@ -44,7 +47,6 @@ N_SLOTS = 20  # padded target slots — matches the flagship train-step
 # from bench_train/B-scaling runs is a HIT (a fresh compile at novel
 # shapes can exceed a whole stage through the tunnel)
 ITERS = int(os.environ.get("BMH_ITERS", "2400"))
-LR_DROP_AT = int(ITERS * 0.8)
 
 
 def log(m):
@@ -60,30 +62,11 @@ def build_scene():
 
 
 def frame_tensors(scene, f, cfg):
-    from kinet_tpu.structs import ImageBatch, Targets
-
-    img = scene.render(f).astype(np.float32) / 255.0
-    img = (img - MEAN) / STD
-    gt = scene.gt_at(f)
-    n_slots = N_SLOTS
-    boxes = np.full((n_slots, 4), 0.5, np.float32)
-    valid = np.zeros((n_slots,), bool)
-    tids = np.zeros((n_slots,), np.int32)
-    for i, (tid, (x, y, w, h)) in enumerate(sorted(gt.items())):
-        boxes[i] = [(x + w / 2) / W, (y + h / 2) / H, w / W, h / H]
-        valid[i] = True
-        tids[i] = tid
-    batch = ImageBatch(
-        images=jnp.asarray(img)[None],
-        pad_mask=jnp.zeros((1, H, W), bool),
+    # identical scene-to-tensor pipeline as the suite gate (shared helper)
+    return scene_frame_tensors(
+        scene, f, hidden_dim=int(cfg.hidden_dim), n_slots=N_SLOTS,
+        n_track_queries=int(cfg.max_track_queries),
     )
-    targets = Targets.create(
-        jnp.asarray(boxes)[None], jnp.zeros((1, n_slots), jnp.int32),
-        jnp.asarray(valid)[None], track_ids=jnp.asarray(tids)[None],
-        num_track_queries=int(cfg.max_track_queries),
-        hidden_dim=int(cfg.hidden_dim),
-    )
-    return batch, targets
 
 
 def main():
@@ -230,20 +213,7 @@ def main():
     log(f"tracked {N_FRAMES} frames in {track_s:.1f}s "
         f"({N_FRAMES / track_s:.1f} Hz incl. compile)")
 
-    class _Seq:
-        def __init__(self, sc):
-            self.data = []
-            for f in range(sc.n_frames):
-                gt = {
-                    tid: np.array([x, y, x + w, y + h], np.float32)
-                    for tid, (x, y, w, h) in sc.gt_at(f).items()
-                }
-                self.data.append({"gt": gt})
-
-        def __len__(self):
-            return len(self.data)
-
-    accum = get_mot_accum(tracker.get_results(), _Seq(scene))
+    accum = get_mot_accum(tracker.get_results(), SceneGTSeq(scene))
     summary = evaluate_mot_accums([accum], ["hard"], generate_overall=False)
     m = summary["hard"]
 

@@ -117,9 +117,7 @@ def _run_equivalence(cfg, n_seq=2, n_frames=3):
     batched = BatchedTracker(
         model, params, postprocess, TRACKER_CFG, n_sequences=n_seq, **kw
     )
-    run_batched(
-        batched, [iter(s) for s in seqs], [len(s) for s in seqs]
-    )
+    run_batched(batched, [iter(s) for s in seqs])
     for s in range(n_seq):
         _results_equal(batched.get_results(s), singles[s])
 
@@ -160,7 +158,7 @@ def test_batched_uneven_lengths():
     batched = BatchedTracker(
         model, params, postprocess, TRACKER_CFG, n_sequences=2, **kw
     )
-    run_batched(batched, [iter(s) for s in seqs], [4, 2])
+    run_batched(batched, [iter(s) for s in seqs])
     r0, r1 = batched.get_results(0), batched.get_results(1)
     assert r0 and r1
     assert max(f for t in r0.values() for f in t) == 3

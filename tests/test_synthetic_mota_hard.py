@@ -37,51 +37,19 @@ import jax.numpy as jnp
 from kinet_tpu.config import load_config
 from kinet_tpu.data.synthetic import hard_scene
 
-MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-STD = np.array([0.229, 0.224, 0.225], np.float32)
-
-
-class _FakeSeq:
-    """Minimal sequence view for get_mot_accum: len + per-frame GT xyxy."""
-
-    def __init__(self, scene):
-        self.data = []
-        for f in range(scene.n_frames):
-            gt = {}
-            for tid, (x, y, w, h) in scene.gt_at(f).items():
-                gt[tid] = np.array([x, y, x + w, y + h], np.float32)
-            self.data.append({"gt": gt})
-
-    def __len__(self):
-        return len(self.data)
+from kinet_tpu.data.synthetic import (  # noqa: E402
+    IMAGENET_MEAN as MEAN,
+    IMAGENET_STD as STD,
+    SceneGTSeq as _FakeSeq,
+    scene_frame_tensors,
+)
 
 
 def _frame_tensors(scene, f, hidden_dim, n_slots, n_track_queries):
-    img = scene.render(f).astype(np.float32) / 255.0
-    img = (img - MEAN) / STD
-    gt = scene.gt_at(f)
-    boxes = np.full((n_slots, 4), 0.5, np.float32)
-    valid = np.zeros((n_slots,), bool)
-    tids = np.zeros((n_slots,), np.int32)
-    for i, (tid, (x, y, w, h)) in enumerate(sorted(gt.items())):
-        boxes[i] = [
-            (x + w / 2) / scene.w, (y + h / 2) / scene.h,
-            w / scene.w, h / scene.h,
-        ]
-        valid[i] = True
-        tids[i] = tid
-    from kinet_tpu.structs import ImageBatch, Targets
-
-    batch = ImageBatch(
-        images=jnp.asarray(img)[None],
-        pad_mask=jnp.zeros((1, scene.h, scene.w), bool),
+    return scene_frame_tensors(
+        scene, f, hidden_dim=hidden_dim, n_slots=n_slots,
+        n_track_queries=n_track_queries,
     )
-    targets = Targets.create(
-        jnp.asarray(boxes)[None], jnp.zeros((1, n_slots), jnp.int32),
-        jnp.asarray(valid)[None], track_ids=jnp.asarray(tids)[None],
-        num_track_queries=n_track_queries, hidden_dim=hidden_dim,
-    )
-    return batch, targets
 
 
 @pytest.fixture(scope="module")
