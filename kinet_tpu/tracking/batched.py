@@ -126,7 +126,90 @@ class BatchedTracker:
         return self.trackers[i].get_results()
 
 
-def run_batched(batched: BatchedTracker, frame_iters: list) -> None:
+class BatchedTrackerKinematic:
+    """Batched kinematic tracking: N detection sequences through one
+    forward. The KineT forward is tiny and stateless across frames (no
+    image, no cached encoder memory), so per-frame device time is almost
+    entirely dispatch latency — batching approaches N x aggregate
+    throughput. Same design as BatchedTracker: untouched per-sequence
+    TrackerKinematic state machines, batching only moves the forward."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        postprocess,
+        tracker_cfg: dict,
+        *,
+        num_object_queries: int,
+        num_track_slots: int,
+        trail_len: int,
+        trail_enc_dim: int,
+        meta_dim: int = 1,
+        n_classes: int = 1,
+        overflow_boxes: bool = False,
+        n_sequences: int,
+    ):
+        from .kine_tracker import TrackerKinematic
+
+        self.trackers = [
+            TrackerKinematic(
+                model, params, postprocess, tracker_cfg,
+                num_object_queries=num_object_queries,
+                num_track_slots=num_track_slots,
+                trail_len=trail_len,
+                trail_enc_dim=trail_enc_dim,
+                meta_dim=meta_dim,
+                n_classes=n_classes,
+                overflow_boxes=overflow_boxes,
+            )
+            for _ in range(n_sequences)
+        ]
+        self.params = params
+        self._fwd = self.trackers[0]._fwd_kine
+        self._cls = TrackerKinematic
+        self.reset()
+
+    @property
+    def n_sequences(self) -> int:
+        return len(self.trackers)
+
+    def reset(self, hard: bool = True):
+        for t in self.trackers:
+            t.reset(hard)
+        self._last_inputs = [None] * len(self.trackers)
+
+    def step(self, blobs: list):
+        assert len(blobs) == len(self.trackers), (len(blobs), len(self.trackers))
+        inputs = []
+        for i, (tr, blob) in enumerate(zip(self.trackers, blobs)):
+            if blob is None:
+                assert self._last_inputs[i] is not None, (
+                    f"sequence {i} finished before its first frame"
+                )
+                inputs.append(self._last_inputs[i])
+                continue
+            inp = tr._build_inputs(blob)
+            inputs.append(inp)
+            self._last_inputs[i] = inp
+        stacked = {
+            k: np.concatenate([inp[k] for inp in inputs], axis=0)
+            for k in inputs[0]
+        }
+        kb, targets, orig_size = self._cls.make_device_inputs(stacked)
+        res = self._fwd(self.params, kb, targets, orig_size)
+        for i, (tr, blob) in enumerate(zip(self.trackers, blobs)):
+            if blob is None:
+                continue
+            tr._consume(
+                {k: np.asarray(res[k][i]) for k in self._cls._ROW_KEYS}, blob
+            )
+
+    def get_results(self, i: int):
+        return self.trackers[i].get_results()
+
+
+def run_batched(batched, frame_iters: list) -> None:
     """Drive a BatchedTracker over N frame iterators of differing lengths.
 
     Steps while at least one sequence has frames left; finished slots ride

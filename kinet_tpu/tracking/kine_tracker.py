@@ -134,9 +134,10 @@ class TrackerKinematic(Tracker):
             mask[0, :n] = True
         return embeds, mask, n
 
-    def step(self, blob: dict):
-        """blob: detections [K, 4] cxcywh normalized, metadata [K, M],
-        orig_size (h, w)."""
+    def _build_inputs(self, blob: dict) -> dict:
+        """Phase 1 of step(): age inactive tracks, stage padded detection +
+        trail-encoded track-query arrays as host [1, ...] numpy (overrides
+        the image tracker's; used by BatchedTrackerKinematic)."""
         self.inactive_tracks = [
             t
             for t in self.inactive_tracks
@@ -147,6 +148,7 @@ class TrackerKinematic(Tracker):
         all_tracks = (self.tracks + self.inactive_tracks)[:t_slots]
 
         embeds, mask, num_prev = self._encode_trails(all_tracks)
+        self._num_prev = num_prev
 
         max_det = blob.get("max_detections", 60)
         k = len(blob["detections"])
@@ -158,25 +160,56 @@ class TrackerKinematic(Tracker):
             dets[0, :kk] = blob["detections"][:kk, :4]
             meta[0, :kk] = np.asarray(blob["metadata"])[:kk, : self.meta_dim]
             det_pad[0, :kk] = False
+        return {
+            "detections": dets,
+            "metadata": meta,
+            "det_pad": det_pad,
+            "tq_embeds": embeds,
+            "tq_mask": mask,
+            "orig_size": np.asarray([[float(h0), float(w0)]], np.float32),
+        }
+
+    @staticmethod
+    def make_device_inputs(inputs: dict):
+        """Host [B, ...] input arrays -> (KineBatch, Targets, orig_size)."""
+        b, t_slots, hidden = inputs["tq_embeds"].shape
         kb = KineBatch(
-            detections=jnp.asarray(dets),
-            metadata=jnp.asarray(meta),
-            pad_mask=jnp.asarray(det_pad),
+            detections=jnp.asarray(inputs["detections"]),
+            metadata=jnp.asarray(inputs["metadata"]),
+            pad_mask=jnp.asarray(inputs["det_pad"]),
         )
         targets = Targets.create(
-            jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
-            jnp.zeros((1, 1), bool),
-            num_track_queries=t_slots, hidden_dim=self.hidden_dim,
+            jnp.zeros((b, 1, 4)), jnp.zeros((b, 1), jnp.int32),
+            jnp.zeros((b, 1), bool),
+            num_track_queries=t_slots, hidden_dim=hidden,
         ).replace(
-            track_query_embeds=jnp.asarray(embeds),
-            track_query_mask=jnp.asarray(mask),
+            track_query_embeds=jnp.asarray(inputs["tq_embeds"]),
+            track_query_mask=jnp.asarray(inputs["tq_mask"]),
         )
-        orig_size = jnp.asarray([[float(h0), float(w0)]], jnp.float32)
+        return kb, targets, jnp.asarray(inputs["orig_size"])
+
+    _ROW_KEYS = ("scores", "labels", "boxes", "rel_boxes")
+
+    def step(self, blob: dict):
+        """blob: detections [K, 4] cxcywh normalized, metadata [K, M],
+        orig_size (h, w)."""
+        inputs = self._build_inputs(blob)
+        kb, targets, orig_size = self.make_device_inputs(inputs)
         res = self._fwd_kine(self.params, kb, targets, orig_size)
-        scores = np.asarray(res["scores"][0])
-        labels = np.asarray(res["labels"][0])
-        boxes_abs = np.asarray(res["boxes"][0])
-        rel = np.asarray(res["rel_boxes"][0])
+        self._consume(
+            {k: np.asarray(res[k][0]) for k in self._ROW_KEYS}, blob
+        )
+
+    def _consume(self, out: dict, blob: dict):
+        """Phase 2 of step(): the kinematic host state machine over one
+        sequence's forward outputs (numpy, row-selected)."""
+        h0, w0 = blob["orig_size"]
+        t_slots = self.num_track_slots
+        num_prev = self._num_prev
+        scores = out["scores"]
+        labels = out["labels"]
+        boxes_abs = out["boxes"]
+        rel = out["rel_boxes"]
         if not self.overflow_boxes:
             boxes_abs = clip_boxes_np(boxes_abs, (h0, w0))
             rel = rel.clip(0.0, 1.0)

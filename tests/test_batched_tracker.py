@@ -163,3 +163,88 @@ def test_batched_uneven_lengths():
     assert r0 and r1
     assert max(f for t in r0.values() for f in t) == 3
     assert max(f for t in r1.values() for f in t) <= 1
+
+
+def test_batched_kinematic_equals_single():
+    """BatchedTrackerKinematic: N detection sequences through one forward
+    equal N independent TrackerKinematic runs (real dual-stream model)."""
+    import flax
+    import jax.numpy as jnp
+
+    from kinet_tpu.structs import KineBatch
+    from kinet_tpu.tracking.batched import BatchedTrackerKinematic
+    from kinet_tpu.tracking.kine_tracker import TrackerKinematic
+
+    l, enc = 3, 4
+    cfg = load_config("train.yaml", named=["train_kinet"]).replace(
+        dataset="mot_kine", hidden_dim=32, nheads=2, dim_feedforward=32,
+        num_queries=8, dropout=0.0, max_number_detection=8,
+        max_track_queries=6, track_prev_frame_range=l,
+        encoding_dim_tracklets=enc, use_encoding_tracklets=True,
+        tracking=True,
+    )
+    model, _, _ = build_model(cfg)
+    e_dim = l * 4 * enc + l * 1
+    kb = KineBatch(
+        detections=jnp.zeros((1, 8, 4)), metadata=jnp.zeros((1, 8, 1)),
+        pad_mask=jnp.zeros((1, 8), bool),
+    )
+    tg = Targets.create(
+        jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
+        jnp.zeros((1, 1), bool), num_track_queries=6, hidden_dim=e_dim,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), kb, tg)
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    for k in flat:
+        if k.endswith("class_embed/bias"):
+            b = np.array(flat[k], copy=True)
+            b[...] = -8.0
+            b[..., 0] = 8.0
+            flat[k] = jnp.asarray(b)
+    params = flax.traverse_util.unflatten_dict(flat, sep="/")
+
+    tcfg = dict(
+        detection_obj_score_thresh=0.0, track_obj_score_thresh=0.0,
+        detection_nms_thresh=0.9, track_nms_thresh=0.9,
+        public_detections=False, inactive_patience=-1,
+        reid_sim_threshold=0.0, reid_sim_only=False,
+        reid_score_thresh=0.0, reid_greedy_matching=False,
+        prev_frame_dist=1, steps_termination=1,
+    )
+    kw = dict(
+        num_object_queries=8, num_track_slots=6,
+        trail_len=l, trail_enc_dim=enc, meta_dim=1,
+    )
+
+    rng = np.random.default_rng(3)
+    seqs = []
+    for s in range(2):
+        frames = []
+        for f in range(3):
+            k = 3 + s
+            frames.append(
+                {
+                    "detections": rng.uniform(
+                        0.2, 0.7, (k, 4)
+                    ).astype(np.float32),
+                    "metadata": np.full((k, 1), 0.9, np.float32),
+                    "orig_size": (100, 200),
+                    "max_detections": 8,
+                }
+            )
+        seqs.append(frames)
+
+    singles = []
+    for s in range(2):
+        tr = TrackerKinematic(model, params, postprocess, tcfg, **kw)
+        for blob in seqs[s]:
+            tr.step(blob)
+        singles.append(tr.get_results())
+        assert singles[-1], "no kine tracks spawned — fixture broken"
+
+    batched = BatchedTrackerKinematic(
+        model, params, postprocess, tcfg, n_sequences=2, **kw
+    )
+    run_batched(batched, [iter(s) for s in seqs])
+    for s in range(2):
+        _results_equal(batched.get_results(s), singles[s])

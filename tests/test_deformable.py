@@ -314,6 +314,24 @@ def test_dec_msda_int8_close_to_exact():
     db2 = float(jnp.max(jnp.abs(o2q["pred_boxes"] - o2f["pred_boxes"])))
     assert db2 < 0.05, db2
 
+    # cache-kind guard: an exact-model cache (plain array) fed to the int8
+    # path — or an int8 tuple cache fed to the exact path — must raise at
+    # trace time, not silently truncate the table to garbage
+    import pytest
+
+    o1f, o1q = jax.jit(model_f.apply)(params, batch, targets), None
+    with pytest.raises(ValueError, match="cache kind"):
+        model_q.apply(
+            params, batch, targets,
+            prev_memory=o1f["frame_memory"], pos_cache=o1f["pos_cache"],
+        )
+    o1q = jax.jit(model_q.apply)(params, batch, targets)
+    with pytest.raises(ValueError, match="cache kind"):
+        model_f.apply(
+            params, batch, targets,
+            prev_memory=o1q["frame_memory"], pos_cache=o1q["pos_cache"],
+        )
+
 
 def test_enc_lite_high_klevels():
     """High-level (interleaved) encoder updates restricted to the k finest
