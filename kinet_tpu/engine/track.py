@@ -221,13 +221,13 @@ def main_track(cfg, obj_detector_model=None):
 
     batch_n = int(cfg.get("batch_sequences", 1))
     kinet_mode = cfg.get("kinet", False) or train_cfg.get("kine", False)
-    if batch_n > 1 and not kinet_mode and not cfg.get("load_results_dir"):
+    if batch_n > 1 and not cfg.get("load_results_dir"):
         # throughput mode: step up to batch_n same-shape sequences through
         # ONE batched forward (tracking/batched.py). Decision logic per
         # sequence is identical to the single-stream path.
         time_total, num_frames = _track_batched(
             cfg, train_cfg, model, params, post, tracker_cfg, seqs,
-            batch_n, accums, accum_names,
+            batch_n, accums, accum_names, kinet_mode=kinet_mode,
         )
         seqs = []
 
@@ -247,31 +247,9 @@ def main_track(cfg, obj_detector_model=None):
             with _Prefetcher(seq, start_frame, end_frame) as frames:
                 for blob in frames:
                     if kinet_mode:
-                        # adapt image-sequence blobs to kinematic input
-                        # (≙ TrackDatasetFactoryKinet/get_sub_dataset intent,
-                        # reference factory.py:76-142 — its call signature is
-                        # broken upstream, SURVEY §8.5)
-                        h0, w0 = blob["orig_size"]
-                        d = blob["dets"]
-                        cxcywh = np.stack(
-                            [
-                                (d[:, 0] + d[:, 2]) / 2 / w0,
-                                (d[:, 1] + d[:, 3]) / 2 / h0,
-                                (d[:, 2] - d[:, 0]) / w0,
-                                (d[:, 3] - d[:, 1]) / h0,
-                            ],
-                            axis=1,
-                        ) if len(d) else np.zeros((0, 4), np.float32)
-                        blob = {
-                            "detections": cxcywh.astype(np.float32),
-                            "metadata": blob.get(
-                                "dets_conf", np.ones(len(d), np.float32)
-                            )[:, None],
-                            "orig_size": blob["orig_size"],
-                            "max_detections": int(
-                                train_cfg.max_number_detection
-                            ),
-                        }
+                        blob = _kine_blob(
+                            blob, int(train_cfg.max_number_detection)
+                        )
                     tracker.step(blob)
                     num_frames += 1
             results = tracker.get_results()
@@ -323,13 +301,40 @@ def main_track(cfg, obj_detector_model=None):
     return None
 
 
+def _kine_blob(blob: dict, max_det: int) -> dict:
+    """Adapt an image-sequence blob to kinematic tracker input
+    (≙ TrackDatasetFactoryKinet/get_sub_dataset intent, reference
+    factory.py:76-142 — its call signature is broken upstream, SURVEY §8.5)."""
+    h0, w0 = blob["orig_size"]
+    d = blob["dets"]
+    cxcywh = np.stack(
+        [
+            (d[:, 0] + d[:, 2]) / 2 / w0,
+            (d[:, 1] + d[:, 3]) / 2 / h0,
+            (d[:, 2] - d[:, 0]) / w0,
+            (d[:, 3] - d[:, 1]) / h0,
+        ],
+        axis=1,
+    ) if len(d) else np.zeros((0, 4), np.float32)
+    return {
+        "detections": cxcywh.astype(np.float32),
+        "metadata": blob.get("dets_conf", np.ones(len(d), np.float32))[:, None],
+        "orig_size": blob["orig_size"],
+        "max_detections": max_det,
+    }
+
+
 def _track_batched(
     cfg, train_cfg, model, params, post, tracker_cfg, seqs, batch_n,
-    accums, accum_names,
+    accums, accum_names, kinet_mode=False,
 ):
     """Group sequences by padded frame shape and run each group through a
     BatchedTracker in chunks of at most batch_n. Returns (time, frames)."""
-    from ..tracking.batched import BatchedTracker, run_batched
+    from ..tracking.batched import (
+        BatchedTracker,
+        BatchedTrackerKinematic,
+        run_batched,
+    )
 
     groups: dict[tuple, list] = {}
     for seq in seqs:
@@ -347,21 +352,44 @@ def _track_batched(
             chunk = group[i0 : i0 + batch_n]
             batched = trackers_by_size.get(len(chunk))
             if batched is None:
-                batched = BatchedTracker(
-                    model, params, post, tracker_cfg,
-                    num_object_queries=int(train_cfg.num_queries),
-                    num_track_slots=int(
-                        train_cfg.get("max_track_queries", 100)
-                    ),
-                    hidden_dim=int(train_cfg.hidden_dim),
-                    n_sequences=len(chunk),
-                    overflow_boxes=bool(
-                        train_cfg.get("overflow_boxes", False)
-                    ),
-                    generate_attention_maps=bool(
-                        cfg.get("generate_attention_maps", False)
-                    ),
-                )
+                if kinet_mode:
+                    trail_len = max(
+                        int(train_cfg.track_prev_frame_range), 1
+                    )
+                    batched = BatchedTrackerKinematic(
+                        model, params, post, tracker_cfg,
+                        num_object_queries=int(train_cfg.num_queries),
+                        num_track_slots=int(
+                            train_cfg.get("max_track_queries", 100)
+                        ),
+                        trail_len=trail_len,
+                        trail_enc_dim=(
+                            int(train_cfg.encoding_dim_tracklets)
+                            if train_cfg.get("use_encoding_tracklets", False)
+                            else 0
+                        ),
+                        meta_dim=2 if train_cfg.use_class else 1,
+                        overflow_boxes=bool(
+                            train_cfg.get("overflow_boxes", False)
+                        ),
+                        n_sequences=len(chunk),
+                    )
+                else:
+                    batched = BatchedTracker(
+                        model, params, post, tracker_cfg,
+                        num_object_queries=int(train_cfg.num_queries),
+                        num_track_slots=int(
+                            train_cfg.get("max_track_queries", 100)
+                        ),
+                        hidden_dim=int(train_cfg.hidden_dim),
+                        n_sequences=len(chunk),
+                        overflow_boxes=bool(
+                            train_cfg.get("overflow_boxes", False)
+                        ),
+                        generate_attention_maps=bool(
+                            cfg.get("generate_attention_maps", False)
+                        ),
+                    )
                 trackers_by_size[len(chunk)] = batched
             else:
                 batched.reset()
@@ -381,8 +409,17 @@ def _track_batched(
             prefetchers = [
                 _Prefetcher(s, a, b) for s, (a, b) in zip(chunk, ranges)
             ]
+
+            def _frames(p):
+                for blob in p:
+                    yield (
+                        _kine_blob(blob, int(train_cfg.max_number_detection))
+                        if kinet_mode
+                        else blob
+                    )
+
             try:
-                run_batched(batched, [iter(p) for p in prefetchers])
+                run_batched(batched, [_frames(p) for p in prefetchers])
             finally:
                 for p in prefetchers:
                     p.close()

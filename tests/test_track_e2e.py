@@ -207,18 +207,22 @@ def test_full_kinet_track_session(synthetic_mot17, tmp_path):
     mgr = CheckpointManager(str(ckpt_dir))
     mgr._save(mgr.dir / "checkpoint", {"params": params, "epoch": 0})
 
+    # both sequences through the BATCHED kinematic path (batch_sequences=2
+    # -> BatchedTrackerKinematic) — covers the kine session and the
+    # batched-kine engine wiring in one run
     track_cfg = load_config("track_kinet.yaml").replace(
         obj_detect_checkpoint_dir=str(ckpt_dir),
         data_root_dir=synthetic_mot17,
-        dataset_name="MOT17-02-FRCNN",
+        dataset_name="MOT17-02-FRCNN,MOT17-04-FRCNN",
         output_dir=str(tmp_path / "kinet_results"),
+        batch_sequences=2,
     )
     summary = main_track(track_cfg)
     assert summary is not None
-    res_file = (
-        tmp_path / "kinet_results" / "MOT17-02-FRCNN" / "MOT17-02-FRCNN.txt"
-    )
-    assert res_file.exists()
+    assert "MOT17-02-FRCNN" in summary and "MOT17-04-FRCNN" in summary
+    out = tmp_path / "kinet_results" / "MOT17-02-FRCNN,MOT17-04-FRCNN"
+    for name in ("MOT17-02-FRCNN", "MOT17-04-FRCNN"):
+        assert (out / f"{name}.txt").exists()
 
 
 def test_full_kinet_dual_stream_track_session(synthetic_mot17, tmp_path):
