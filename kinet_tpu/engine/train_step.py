@@ -110,12 +110,16 @@ def make_kine_train_step(model, criterion, tx, cfg):
         else 0
     )
     ratio = float(cfg.get("ratio_add_tracklets", 1.0))
+    rand_count = bool(cfg.get("kine_random_tracklet_count", False))
+    ratio_dets = float(cfg.get("ratio_add_detections", 0.5))
 
     def loss_fn(params, rng, kb, targets, trails, dropout_rng):
         aug = add_kine_track_queries(
             rng, targets, trails, kb.detections, kb.metadata,
             ~kb.pad_mask, trail_enc_dim=trail_enc,
             ratio_add_tracklets=ratio,
+            random_count=rand_count,
+            ratio_add_detections=ratio_dets,
         )
         aug = jax.lax.stop_gradient(aug)
         out = model.apply(

@@ -109,11 +109,19 @@ class SetCriterion:
     # --- matching -------------------------------------------------------
     def match(self, outputs, targets):
         if self.matcher_kind == "ordered_encoder":
-            # encoder-only KineT: targets own their trail-slot predictions
-            # (reference build_matcher dispatch, matcher.py:685-712)
+            # encoder-only KineT: targets own their trail-slot predictions;
+            # untracked targets fall back to their detection's slot
+            # (reference build_matcher dispatch matcher.py:685-712 +
+            # OrderDetectionsMatcherEncoder matcher.py:666-676)
             from .matcher import ordered_match_from_track_ids
 
-            return ordered_match_from_track_ids(targets)
+            return ordered_match_from_track_ids(
+                targets,
+                outputs.get("detections"),
+                outputs.get("det_valid"),
+                cost_bbox=self.cost_bbox,
+                cost_giou=self.cost_giou,
+            )
         if self.matcher_kind == "ordered_transformer":
             # dual-stream KineT with positional query groups (reference
             # OrderDetectionsMatcherTransformer2, matcher.py:205-537);

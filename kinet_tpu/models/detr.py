@@ -553,4 +553,9 @@ class KinematicDetectorEncoder(nn.Module):
             "pred_boxes": boxes,
             "hs_embed": hs,
             "query_valid": ~pad,
+            # input detections pass through for the ordered-encoder
+            # matcher's detection-slot fallback (reference
+            # OrderDetectionsMatcherEncoder, matcher.py:666-676)
+            "detections": batch.detections,
+            "det_valid": ~batch.pad_mask,
         }

@@ -19,6 +19,8 @@ target slot, -1 for invalid slots.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -156,12 +158,41 @@ def box_match(
     return jnp.where((det4gt >= 0) & (chosen_cost < BIG / 2), det4gt, -1)
 
 
-def ordered_match_from_track_ids(targets) -> jnp.ndarray:
+def _det4gt_thresholded(
+    targets, detections, det_valid, cost_bbox: float, cost_giou: float
+) -> jnp.ndarray:
+    """box_match + the reference's max_cost gate
+    (max_cost = 0.6*cost_bbox - 0.1*cost_giou, matcher.py:585,616-619)."""
+    det4gt = box_match(detections, det_valid, targets.boxes, targets.valid,
+                       cost_bbox=cost_bbox, cost_giou=cost_giou)
+    d = jnp.take_along_axis(detections, jnp.clip(det4gt, 0)[..., None], axis=1)
+    l1 = jnp.sum(jnp.abs(d - targets.boxes), axis=-1)
+    from ..ops.boxes import box_cxcywh_to_xyxy, elementwise_box_iou
+
+    giou = elementwise_box_iou(
+        box_cxcywh_to_xyxy(d), box_cxcywh_to_xyxy(targets.boxes)
+    )
+    cost = cost_bbox * l1 - cost_giou * giou
+    max_cost = -cost_giou * 0.1 + cost_bbox * 0.6
+    return jnp.where((det4gt >= 0) & (cost < max_cost), det4gt, -1)
+
+
+def ordered_match_from_track_ids(
+    targets,
+    detections: Optional[jnp.ndarray] = None,
+    det_valid: Optional[jnp.ndarray] = None,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+) -> jnp.ndarray:
     """Ordered matcher for the encoder-only KineT variant (reference
     OrderDetectionsMatcherEncoder, matcher.py:540-682): predictions live at
     the trail slots, and the kine augmentation already records which target
-    each slot owns (track_query_match_ids) — so the assignment is a direct
-    inversion of match_ids into query4target [B, N]."""
+    each slot owns (track_query_match_ids) — the assignment inverts
+    match_ids into query4target [B, N]. A GT NOT owned by any track-query
+    slot falls back to its matched DETECTION's slot (reference
+    indices_remaining branch, matcher.py:666-676) — this is what gives the
+    detection rows positive supervision, without which the tracker can
+    never spawn a first track."""
     n = targets.labels.shape[1]
     mids = jnp.where(
         targets.track_query_mask & ~targets.track_query_fp_mask,
@@ -172,6 +203,12 @@ def ordered_match_from_track_ids(targets) -> jnp.ndarray:
     q4t = jnp.full((b, n), -1, jnp.int32)
     slot_ids = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
     q4t = q4t.at[jnp.arange(b)[:, None], mids].set(slot_ids, mode="drop")
+    if detections is not None:
+        det4gt = _det4gt_thresholded(
+            targets, detections, det_valid, cost_bbox, cost_giou
+        )
+        fallback = jnp.where(det4gt >= 0, t + det4gt, -1)
+        q4t = jnp.where(q4t >= 0, q4t, fallback)
     return jnp.where(targets.valid, q4t, -1)
 
 
@@ -190,22 +227,9 @@ def ordered_match_transformer(
     0.1*cost_giou), then target n's prediction is the first query of its
     detection's positional group; a track query owning target n overrides
     the positional slot (reference :355-376)."""
-    det4gt = box_match(detections, det_valid, targets.boxes, targets.valid,
-                       cost_bbox=cost_bbox, cost_giou=cost_giou)
-    # threshold: drop matches whose cost exceeded max_cost -> box_match
-    # already drops BIG cells; apply the reference's tighter max_cost
-    b_idx = jnp.arange(det4gt.shape[0])[:, None]
-    d = jnp.take_along_axis(detections, jnp.clip(det4gt, 0)[..., None], axis=1)
-    l1 = jnp.sum(jnp.abs(d - targets.boxes), axis=-1)
-    from ..ops.boxes import box_cxcywh_to_xyxy, elementwise_box_iou
-
-    giou = elementwise_box_iou(
-        box_cxcywh_to_xyxy(d), box_cxcywh_to_xyxy(targets.boxes)
+    det4gt = _det4gt_thresholded(
+        targets, detections, det_valid, cost_bbox, cost_giou
     )
-    cost = cost_bbox * l1 - cost_giou * giou
-    max_cost = -cost_giou * 0.1 + cost_bbox * 0.6
-    det4gt = jnp.where((det4gt >= 0) & (cost < max_cost), det4gt, -1)
-
     q4t = jnp.where(det4gt >= 0, num_track_slots + det4gt * n_assign, -1)
     # track-query override
     t = targets.num_track_slots

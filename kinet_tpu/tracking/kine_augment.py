@@ -58,6 +58,8 @@ def add_kine_track_queries(
     trail_enc_dim: int,
     ratio_add_tracklets: float = 1.0,
     max_confidence_false_positives: float = 0.5,
+    random_count: bool = False,
+    ratio_add_detections: float = 0.5,
 ) -> Targets:
     from ..models.matcher import box_match
 
@@ -76,9 +78,26 @@ def add_kine_track_queries(
     num_slots = jnp.minimum(num_slots, t)
 
     k_meta, k_perm, k_fp, k_conf = jax.random.split(rng, 4)
+    if random_count:
+        # randomized tracklet count incl. ZERO (the reference dual-stream
+        # variant's get_minimun_tracks, detr_tracking.py:385-389: randint
+        # over [0, ratio*min_matched]) — covers the tracker's first-frame
+        # input (no trails at all) and leaves untracked targets to the
+        # ordered matcher's detection-slot fallback
+        num_slots = jax.random.randint(k_fp, (), 0, num_slots + 1)
 
-    # 2. tail replacement + metadata history
+    # 2. tail replacement + metadata history. Only ratio_add_detections of
+    # the matched trails get their tail snapped to the CURRENT detection
+    # (reference detr_tracking.py:337,369: ratio_add_detections=0.5) — the
+    # rest keep the PREVIOUS position as tail, forcing the model to
+    # predict the current position from history + detection tokens instead
+    # of echoing the tail (echoing makes the tracker lag moving objects).
     matched = det4gt >= 0
+    if ratio_add_detections < 1.0:
+        picked = (
+            jax.random.uniform(k_conf, matched.shape) < ratio_add_detections
+        )
+        matched = matched & picked
     det_idx = jnp.clip(det4gt, 0)
     det_boxes = jnp.take_along_axis(
         detections, det_idx[..., None], axis=1

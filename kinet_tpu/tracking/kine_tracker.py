@@ -33,6 +33,18 @@ def pseudo_trail(rel_box: np.ndarray, n_frames: int) -> np.ndarray:
     return np.tile(rel_box[None], (n_frames, 1)).astype(np.float32)
 
 
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of xyxy boxes [N,4] x [K,4] -> [N,K]."""
+    x0 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y0 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x1 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y1 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(aa[:, None] + ab[None] - inter, 1e-9)
+
+
 @dataclass
 class TrackKinematic:
     id: int
@@ -98,6 +110,9 @@ class TrackerKinematic(Tracker):
         self.trail_enc_dim = trail_enc_dim
         self.meta_dim = meta_dim
         self.n_classes = n_classes
+        self.snap_to_detections = bool(
+            tracker_cfg.get("snap_to_detections", False)
+        )
 
         @jax.jit
         def fwd(params, kb, targets, orig_size):
@@ -156,6 +171,7 @@ class TrackerKinematic(Tracker):
         meta = np.zeros((1, max_det, self.meta_dim), np.float32)
         det_pad = np.ones((1, max_det), bool)
         kk = min(k, max_det)
+        self._num_dets = kk
         if kk:
             dets[0, :kk] = blob["detections"][:kk, :4]
             meta[0, :kk] = np.asarray(blob["metadata"])[:kk, : self.meta_dim]
@@ -213,6 +229,32 @@ class TrackerKinematic(Tracker):
         if not self.overflow_boxes:
             boxes_abs = clip_boxes_np(boxes_abs, (h0, w0))
             rel = rel.clip(0.0, 1.0)
+        if self.snap_to_detections:
+            # snap each output box to its best-IoU PUBLIC detection: the
+            # kinematic model is an ASSOCIATOR over external detections —
+            # its learned box head interpolates between the trail tail and
+            # the detection (visible as lag on fast objects at small
+            # training scale), while the association itself is what the
+            # row decides. Snapping reports the associated detection's box
+            # (tracking-by-detection output; not in the reference, which
+            # reports the raw head output — flag default-off).
+            dets_rel = np.asarray(blob["detections"], np.float32)
+            if len(dets_rel):
+                scale = np.array([w0, h0, w0, h0], np.float32)
+                half = dets_rel[:, 2:] / 2
+                dets_xyxy = (
+                    np.concatenate(
+                        [dets_rel[:, :2] - half, dets_rel[:, :2] + half], 1
+                    )
+                    * scale
+                )
+                iou = _iou_matrix(boxes_abs, dets_xyxy)  # [rows, K]
+                best = iou.argmax(axis=1)
+                ok = iou[np.arange(len(boxes_abs)), best] >= 0.3
+                boxes_abs = np.where(
+                    ok[:, None], dets_xyxy[best], boxes_abs
+                )
+                rel = np.where(ok[:, None], dets_rel[best], rel)
 
         # ----- track rows -----
         if num_prev:
@@ -269,10 +311,14 @@ class TrackerKinematic(Tracker):
                 ]
 
         # ----- new detections (rows after the track slots) -----
-        nd_scores = scores[t_slots:]
-        nd_labels = labels[t_slots:]
-        nd_boxes = boxes_abs[t_slots:]
-        nd_rel = rel[t_slots:]
+        # only the blob's REAL detections — rows beyond _num_dets are
+        # padding whose scores are meaningless (the model never sees them:
+        # they are key-masked at train and inference time)
+        nd_hi = t_slots + self._num_dets
+        nd_scores = scores[t_slots:nd_hi]
+        nd_labels = labels[t_slots:nd_hi]
+        nd_boxes = boxes_abs[t_slots:nd_hi]
+        nd_rel = rel[t_slots:nd_hi]
         keep = (nd_scores > self.detection_obj_score_thresh) & (
             nd_labels < self.n_classes
         )
