@@ -31,6 +31,17 @@ def _boxes_at(f):
     ]
 
 
+def _dets_at(f):
+    """Public detections: GT with deterministic +-1px jitter (the north
+    star scores association over NOISY external detections)."""
+    rng = np.random.default_rng(1000 + f)
+    out = []
+    for (x, y, w, h) in _boxes_at(f):
+        dx, dy, dw, dh = (int(v) for v in rng.integers(-1, 2, 4))
+        out.append((x + dx, y + dy, max(w + dw, 4), max(h + dh, 4)))
+    return out
+
+
 @pytest.fixture(scope="module")
 def kine_scene(tmp_path_factory):
     """The scene in BOTH representations: a MOT17 sequence dir (tracking
@@ -55,6 +66,7 @@ def kine_scene(tmp_path_factory):
         black.save(seq_dir / "img1" / f"{f + 1:06d}.jpg")
         for tid, (x, y, w, h) in enumerate(_boxes_at(f), start=1):
             gt_lines.append(f"{f + 1},{tid},{x},{y},{w},{h},1,1,1.0")
+        for (x, y, w, h) in _dets_at(f):
             det_lines.append(f"{f + 1},-1,{x},{y},{w},{h},0.95,-1,-1")
     (seq_dir / "gt" / "gt.txt").write_text("\n".join(gt_lines) + "\n")
     (seq_dir / "det" / "det.txt").write_text("\n".join(det_lines) + "\n")
@@ -90,13 +102,17 @@ def kine_scene(tmp_path_factory):
     }
     with open(ann_dir / "train.json", "w") as fh:
         json.dump(coco, fh)
-    dets = {
-        **coco,
-        "annotations": [
-            {**a, "id": i, "confidence": 0.95}
-            for i, a in enumerate(annotations)
-        ],
-    }
+    det_annotations = []
+    for f in range(N_FRAMES):
+        for (x, y, w, h) in _dets_at(f):
+            det_annotations.append(
+                {
+                    "id": len(det_annotations), "image_id": f,
+                    "category_id": 1, "bbox": [x, y, w, h],
+                    "area": w * h, "iscrowd": 0, "confidence": 0.95,
+                }
+            )
+    dets = {**coco, "annotations": det_annotations}
     with open(ann_dir / "det_train.json", "w") as fh:
         json.dump(dets, fh)
     return str(root)
@@ -218,6 +234,7 @@ def test_kine_overfit_then_track_scores_mota(kine_scene, tmp_path):
             "cfg": key_cfg,
             "iters": ITERS,
             "boxes": [_boxes_at(f) for f in range(N_FRAMES)],
+            "dets": [_dets_at(f) for f in range(N_FRAMES)],
         },
         train,
     )
@@ -250,6 +267,12 @@ def test_kine_overfit_then_track_scores_mota(kine_scene, tmp_path):
     assert summary is not None and SEQ in summary
     m = summary[SEQ]
     print("KINE GATE:", {k: round(float(v), 3) for k, v in m.items()})
-    assert m["mota"] > 0.5, m
-    assert m["idf1"] > 0.5, m
+    # measured landing: MOTA 0.6 / IDF1 0.8 / 0 switches (+-1px jittered
+    # public detections; one track loses the object for a stretch around
+    # the path crossing and recovers without an id switch). The defects
+    # this gate caught scored MOTA <= 0.17 / IDF1 <= 0.59 (missing
+    # detection-slot supervision, padded-row spawns, tail echo) — the
+    # thresholds split the bands with margin on both sides.
+    assert m["mota"] > 0.35, m
+    assert m["idf1"] > 0.65, m
     assert m["num_switches"] <= 2, m
