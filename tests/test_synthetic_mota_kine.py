@@ -133,6 +133,11 @@ def test_kine_overfit_then_track_scores_mota(kine_scene, tmp_path):
     from kinet_tpu.utils.checkpoint import CheckpointManager
 
     root = kine_scene
+    # the dataset draws its per-item augmentation base seed from the
+    # GLOBAL np.random state AT CONSTRUCTION (engine.train seeds it first;
+    # a direct pipeline must too, or every process trains on different
+    # augmentation draws)
+    np.random.seed(0)
     l, enc = 3, 4
     cfg = load_config("train.yaml", named=["train_kinet2"]).replace(
         dataset="mot_kine",
@@ -180,11 +185,6 @@ def test_kine_overfit_then_track_scores_mota(kine_scene, tmp_path):
     ITERS = 1200
 
     def train():
-        # the dataset derives its per-item augmentation base seed from the
-        # GLOBAL np.random state (like the reference's torch datasets);
-        # engine.train() seeds it — a direct train loop must too, or every
-        # process trains on different augmentation draws
-        np.random.seed(0)
         first = next(iter(make_loader()))
         kb0 = KineBatch(
             detections=jnp.asarray(first["detections"]),
