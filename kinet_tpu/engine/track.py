@@ -321,6 +321,9 @@ def _kine_blob(blob: dict, max_det: int) -> dict:
         "metadata": blob.get("dets_conf", np.ones(len(d), np.float32))[:, None],
         "orig_size": blob["orig_size"],
         "max_detections": max_det,
+        # absolute public boxes pass through: tracker_cfg.public_detections
+        # filters candidate spawns against them (all-False without them)
+        "dets": d,
     }
 
 
@@ -338,7 +341,11 @@ def _track_batched(
 
     groups: dict[tuple, list] = {}
     for seq in seqs:
-        shape = tuple(seq[0]["images"].shape)
+        # the kine forward is image-free (fixed-size padded detections),
+        # so every sequence batches together; the image path needs equal
+        # padded frame shapes (and pays one decoded frame per sequence to
+        # learn them)
+        shape = ("kine",) if kinet_mode else tuple(seq[0]["images"].shape)
         groups.setdefault(shape, []).append(seq)
 
     time_total = 0.0
@@ -393,8 +400,9 @@ def _track_batched(
                 trackers_by_size[len(chunk)] = batched
             else:
                 batched.reset()
+            desc = "kine" if kinet_mode else f"{shape[1]}x{shape[2]}"
             print(
-                f"TRACK BATCH ({len(chunk)} seqs, {shape[1]}x{shape[2]}): "
+                f"TRACK BATCH ({len(chunk)} seqs, {desc}): "
                 + ", ".join(str(s) for s in chunk),
                 flush=True,
             )

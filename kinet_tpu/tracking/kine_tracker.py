@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.nms import nms_numpy
+from ..ops.nms import iou_matrix_np, nms_numpy
 from ..structs import KineBatch, Targets
 from .kine_augment import sine_encode_trail
 from .tracker import Tracker, clip_boxes_np
@@ -31,18 +31,6 @@ def pseudo_trail(rel_box: np.ndarray, n_frames: int) -> np.ndarray:
     """Repeat a relative box over the trail (reference
     generate_pseudo_tracklets)."""
     return np.tile(rel_box[None], (n_frames, 1)).astype(np.float32)
-
-
-def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Pairwise IoU of xyxy boxes [N,4] x [K,4] -> [N,K]."""
-    x0 = np.maximum(a[:, None, 0], b[None, :, 0])
-    y0 = np.maximum(a[:, None, 1], b[None, :, 1])
-    x1 = np.minimum(a[:, None, 2], b[None, :, 2])
-    y1 = np.minimum(a[:, None, 3], b[None, :, 3])
-    inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
-    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    return inter / np.maximum(aa[:, None] + ab[None] - inter, 1e-9)
 
 
 @dataclass
@@ -248,13 +236,38 @@ class TrackerKinematic(Tracker):
                     )
                     * scale
                 )
-                iou = _iou_matrix(boxes_abs, dets_xyxy)  # [rows, K]
-                best = iou.argmax(axis=1)
-                ok = iou[np.arange(len(boxes_abs)), best] >= 0.3
-                boxes_abs = np.where(
-                    ok[:, None], dets_xyxy[best], boxes_abs
-                )
-                rel = np.where(ok[:, None], dets_rel[best], rel)
+                boxes_abs = np.array(boxes_abs)  # writable copies (the raw
+                rel = np.array(rel)  # forward outputs can be read-only)
+                # TRACK rows: greedy ONE-TO-ONE in descending IoU order so
+                # two tracks cannot both report the same box (a duplicate
+                # is a guaranteed FP, and track-NMS could then delete the
+                # true track). Exclusivity must stay WITHIN the track rows:
+                # detection rows output near-copies of the detections and
+                # would otherwise win every claim, starving the tracks.
+                iou = iou_matrix_np(boxes_abs[:num_prev], dets_xyxy)
+                order = np.argsort(iou.max(axis=1))[::-1]
+                claimed = np.zeros(len(dets_xyxy), bool)
+                for r in order:
+                    k_best = int(np.argmax(np.where(claimed, -1.0, iou[r])))
+                    if claimed[k_best] or iou[r, k_best] < 0.3:
+                        continue
+                    claimed[k_best] = True
+                    boxes_abs[r] = dets_xyxy[k_best]
+                    rel[r] = dets_rel[k_best]
+                # DETECTION rows: independent snap (their boxes are
+                # near-copies of their own detection; duplicates among
+                # spawns are handled by detection-NMS)
+                lo, hi = t_slots, t_slots + self._num_dets
+                if hi > lo:
+                    iou_d = iou_matrix_np(boxes_abs[lo:hi], dets_xyxy)
+                    best = iou_d.argmax(axis=1)
+                    ok = iou_d[np.arange(hi - lo), best] >= 0.3
+                    boxes_abs[lo:hi] = np.where(
+                        ok[:, None], dets_xyxy[best], boxes_abs[lo:hi]
+                    )
+                    rel[lo:hi] = np.where(
+                        ok[:, None], dets_rel[best], rel[lo:hi]
+                    )
 
         # ----- track rows -----
         if num_prev:
