@@ -295,7 +295,7 @@ class TrackDatasetFactory:
     def __init__(self, dataset_name, root_dir="data", img_transform=None,
                  vis_threshold=0.0):
         if isinstance(dataset_name, str):
-            dataset_name = [n for n in dataset_name.split(",") if n]
+            dataset_name = [n.strip() for n in dataset_name.split(",") if n.strip()]
         if not dataset_name:
             raise ValueError("empty dataset_name")
         if len(dataset_name) != 1:

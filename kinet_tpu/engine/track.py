@@ -29,6 +29,14 @@ from ..tracking.tracker import Tracker
 from ..utils.mot_metrics import evaluate_mot_accums, format_summary, get_mot_accum
 
 
+def _dataset_dirname(dataset_name) -> str:
+    """Output subdir for result files: dataset_name may be a YAML list
+    or a comma-separated string; normalize to one path-safe token."""
+    if isinstance(dataset_name, (list, tuple)):
+        return ",".join(str(n).strip() for n in dataset_name)
+    return str(dataset_name).strip()
+
+
 def interpolate_tracks(tracks: dict) -> dict:
     """Linear gap interpolation (intent of reference track_utils.py:240-272)."""
     out = {}
@@ -260,14 +268,14 @@ def main_track(cfg, obj_detector_model=None):
 
         if cfg.output_dir:
             seq.write_results(
-                results, osp.join(cfg.output_dir, cfg.dataset_name)
+                results, osp.join(cfg.output_dir, _dataset_dirname(cfg.dataset_name))
             )
             if cfg.get("write_images", False):
                 from ..utils.vis import plot_sequence
 
                 plot_sequence(
                     results, seq,
-                    osp.join(cfg.output_dir, cfg.dataset_name, str(seq)),
+                    osp.join(cfg.output_dir, _dataset_dirname(cfg.dataset_name), str(seq)),
                     write_images=cfg.write_images,
                 )
 
@@ -344,8 +352,15 @@ def _track_batched(
         # the kine forward is image-free (fixed-size padded detections),
         # so every sequence batches together; the image path needs equal
         # padded frame shapes (and pays one decoded frame per sequence to
-        # learn them)
-        shape = ("kine",) if kinet_mode else tuple(seq[0]["images"].shape)
+        # learn them — probe the first IN-RANGE frame so the decode is
+        # the frame the batch actually starts on, not a wasted seq[0])
+        if kinet_mode:
+            shape = ("kine",)
+        else:
+            probe = min(
+                int(cfg.frame_range.start * len(seq)), max(len(seq) - 1, 0)
+            )
+            shape = tuple(seq[probe]["images"].shape)
         groups.setdefault(shape, []).append(seq)
 
     time_total = 0.0
@@ -440,7 +455,7 @@ def _track_batched(
                     results = interpolate_tracks(results)
                 if cfg.output_dir:
                     seq.write_results(
-                        results, osp.join(cfg.output_dir, cfg.dataset_name)
+                        results, osp.join(cfg.output_dir, _dataset_dirname(cfg.dataset_name))
                     )
                     if cfg.get("write_images", False):
                         from ..utils.vis import plot_sequence
@@ -448,7 +463,7 @@ def _track_batched(
                         plot_sequence(
                             results, seq,
                             osp.join(
-                                cfg.output_dir, cfg.dataset_name, str(seq)
+                                cfg.output_dir, _dataset_dirname(cfg.dataset_name), str(seq)
                             ),
                             write_images=cfg.write_images,
                         )

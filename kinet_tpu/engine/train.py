@@ -291,6 +291,8 @@ def train(cfg):
             iter_vis.save()
         if cfg.debug:
             break
+    if visualizers.get("sink") is not None:
+        visualizers["sink"].close()
     return state
 
 

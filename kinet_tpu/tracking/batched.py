@@ -37,6 +37,24 @@ import numpy as np
 from .tracker import Tracker
 
 
+def _stage_inputs(trackers, blobs, last_inputs):
+    """Build per-slot forward inputs; dead slots (blob None) ride on
+    their own last inputs, or — if the slot never started (empty/
+    zero-frame sequence) — on any live slot's inputs so the batch shape
+    never changes. Returns None when no slot has anything to ride on
+    (every sequence empty)."""
+    inputs: list = [None] * len(trackers)
+    for i, (tr, blob) in enumerate(zip(trackers, blobs)):
+        if blob is None:
+            inputs[i] = last_inputs[i]
+            continue
+        inputs[i] = last_inputs[i] = tr._build_inputs(blob)
+    donor = next((inp for inp in inputs if inp is not None), None)
+    if donor is None:
+        return None
+    return [inp if inp is not None else donor for inp in inputs]
+
+
 class BatchedTracker:
     def __init__(
         self,
@@ -87,17 +105,9 @@ class BatchedTracker:
         sequence is finished (its slot repeats its last inputs; outputs
         are discarded)."""
         assert len(blobs) == len(self.trackers), (len(blobs), len(self.trackers))
-        inputs = []
-        for i, (tr, blob) in enumerate(zip(self.trackers, blobs)):
-            if blob is None:
-                assert self._last_inputs[i] is not None, (
-                    f"sequence {i} finished before its first frame"
-                )
-                inputs.append(self._last_inputs[i])
-                continue
-            inp = tr._build_inputs(blob)
-            inputs.append(inp)
-            self._last_inputs[i] = inp
+        inputs = _stage_inputs(self.trackers, blobs, self._last_inputs)
+        if inputs is None:
+            return
         stacked = {
             k: np.concatenate([inp[k] for inp in inputs], axis=0)
             for k in inputs[0]
@@ -181,17 +191,9 @@ class BatchedTrackerKinematic:
 
     def step(self, blobs: list):
         assert len(blobs) == len(self.trackers), (len(blobs), len(self.trackers))
-        inputs = []
-        for i, (tr, blob) in enumerate(zip(self.trackers, blobs)):
-            if blob is None:
-                assert self._last_inputs[i] is not None, (
-                    f"sequence {i} finished before its first frame"
-                )
-                inputs.append(self._last_inputs[i])
-                continue
-            inp = tr._build_inputs(blob)
-            inputs.append(inp)
-            self._last_inputs[i] = inp
+        inputs = _stage_inputs(self.trackers, blobs, self._last_inputs)
+        if inputs is None:
+            return
         stacked = {
             k: np.concatenate([inp[k] for inp in inputs], axis=0)
             for k in inputs[0]

@@ -30,27 +30,36 @@ def is_dist_avail_and_initialized() -> bool:
     return get_world_size() > 1
 
 
-def all_gather_objects(obj, max_bytes: int = 1 << 24):
+def all_gather_objects(obj):
     """Gather arbitrary picklable objects from every host
-    (≙ reference all_gather, misc.py:91-132)."""
+    (≙ reference all_gather, misc.py:91-132).
+
+    Two-phase like the reference (misc.py:107-118): first allgather the
+    byte LENGTHS (8 bytes/host), then allgather payloads padded only to
+    max(len) — traffic is payload-proportional, not a fixed 16 MB/host.
+    """
     world = get_world_size()
     if world == 1:
         return [obj]
     from jax.experimental import multihost_utils
 
-    payload = pickle.dumps(obj)
-    assert len(payload) <= max_bytes, (len(payload), max_bytes)
-    buf = np.zeros(max_bytes + 8, np.uint8)
-    buf[:8] = np.frombuffer(
-        np.int64(len(payload)).tobytes(), np.uint8
-    )
-    buf[8 : 8 + len(payload)] = np.frombuffer(payload, np.uint8)
-    gathered = multihost_utils.process_allgather(buf)
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(np.int64(len(payload)))
+    ).reshape(-1)
+    buf = np.zeros(_gather_buf_bytes(lengths), np.uint8)
+    buf[: len(payload)] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
     out = []
-    for row in np.asarray(gathered).reshape(world, -1):
-        n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
-        out.append(pickle.loads(row[8 : 8 + n].tobytes()))
+    for i, row in enumerate(gathered.reshape(world, -1)):
+        out.append(pickle.loads(row[: int(lengths[i])].tobytes()))
     return out
+
+
+def _gather_buf_bytes(lengths) -> int:
+    """Per-host payload buffer size: max actual length (min 1 so the
+    allgather always has a non-empty array to ship)."""
+    return max(1, int(np.max(lengths)))
 
 
 def reduce_dict(d: dict) -> dict:

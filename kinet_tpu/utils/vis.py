@@ -24,24 +24,80 @@ except ImportError:  # pragma: no cover
     plt = None
 
 
+class MetricsSink:
+    """Live metric stream — the rebuild's answer to the reference's live
+    Visdom windows (vis.py:247-374). Each point is emitted AS IT ARRIVES:
+
+    - kind='jsonl': one JSON line per point appended to
+      `output_dir/vis/metrics.jsonl` (`tail -f` is the live dashboard);
+    - kind='tensorboard': torch SummaryWriter scalars under
+      `output_dir/vis/tb` (silently degrades to jsonl if tensorboard
+      isn't importable in this environment).
+    """
+
+    def __init__(self, kind: str, output_dir: str):
+        self.kind = kind
+        self.output_dir = output_dir
+        self._file = None
+        self._tb = None
+        if kind == "tensorboard":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                os.makedirs(osp.join(output_dir, "vis", "tb"), exist_ok=True)
+                self._tb = SummaryWriter(osp.join(output_dir, "vis", "tb"))
+            except Exception:
+                self.kind = "jsonl"
+        if self._tb is None:
+            os.makedirs(osp.join(output_dir, "vis"), exist_ok=True)
+            self._file = open(
+                osp.join(output_dir, "vis", "metrics.jsonl"), "a", buffering=1
+            )
+
+    def emit(self, series: str, name: str, x: float, value: float):
+        if self._tb is not None:
+            self._tb.add_scalar(f"{series}/{name}", value, int(x))
+            return
+        import json
+
+        self._file.write(
+            json.dumps(
+                {"series": series, "name": name, "x": x, "value": value}
+            )
+            + "\n"
+        )
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+        if self._file is not None:
+            self._file.close()
+
+
 class LineVis:
     """≙ reference LineVis (vis.py:18-72): appended line plots per metric."""
 
-    def __init__(self, opts: dict, output_dir: str | None = None, enabled=True):
+    def __init__(self, opts: dict, output_dir: str | None = None, enabled=True,
+                 sink: MetricsSink | None = None):
         self.opts = opts
         self.output_dir = output_dir
         self.enabled = enabled and plt is not None and output_dir
+        self.sink = sink
         self.data = defaultdict(list)
         self.steps = defaultdict(list)
 
     def plot(self, y, x):
-        if not self.enabled:
+        if not self.enabled and self.sink is None:
             return
         ys = np.atleast_1d(np.asarray(y, np.float64))
         legend = self.opts.get("legend", [f"y{i}" for i in range(len(ys))])
+        title = self.opts.get("title", "metrics")
         for name, v in zip(legend, ys):
-            self.data[name].append(float(v))
-            self.steps[name].append(float(x))
+            if self.enabled:
+                self.data[name].append(float(v))
+                self.steps[name].append(float(x))
+            if self.sink is not None:
+                self.sink.emit(title, name, float(x), float(v))
 
     def save(self):
         if not self.enabled or not self.data:
@@ -98,16 +154,21 @@ def build_visualizers(cfg):
     if cfg.get("no_vis", True) and not cfg.get("output_dir"):
         return out
     output_dir = cfg.get("output_dir") or None
+    sink = None
+    sink_kind = cfg.get("metrics_sink", None)
+    if sink_kind and output_dir:
+        sink = MetricsSink(str(sink_kind), output_dir)
+        out["sink"] = sink
     for split in ("train", "val"):
         out[split]["iter_metrics"] = LineVis(
             {"title": f"{split} iter metrics", "xlabel": "iter",
              "legend": ["loss", "loss_ce", "loss_bbox", "loss_giou"]},
-            output_dir,
+            output_dir, sink=sink,
         )
         out[split]["epoch_metrics"] = LineVis(
             {"title": f"{split} epoch metrics", "xlabel": "epoch",
              "legend": ["AP", "AP50", "MOTA", "IDF1"]},
-            output_dir,
+            output_dir, sink=sink,
         )
         out[split]["example_results"] = ImgVis(
             {"title": f"{split} example results"}, output_dir

@@ -165,6 +165,41 @@ def test_batched_uneven_lengths():
     assert max(f for t in r1.values() for f in t) <= 1
 
 
+def test_batched_zero_frame_slot_rides_on_donor():
+    """A sequence with an empty frame range (zero frames) must not crash
+    the batched session (advisor r3: the never-started slot used to trip
+    'finished before its first frame'); it rides on a live slot's inputs
+    and produces no results."""
+    cfg = _tiny_cfg()
+    model, _, _ = build_model(cfg)
+    seqs = _sequences(n_seq=2, n_frames=3)
+    seqs[1] = []  # zero-frame sequence slot
+    b0 = seqs[0][0]
+    batch = ImageBatch(images=b0["images"], pad_mask=b0["pad_mask"])
+    targets = Targets.create(
+        np.full((1, 1, 4), 0.5, np.float32), np.zeros((1, 1), np.int32),
+        np.zeros((1, 1), bool), num_track_queries=4, hidden_dim=32,
+    )
+    params = _biased_params(model, batch, targets)
+    kw = dict(num_object_queries=12, num_track_slots=4, hidden_dim=32)
+
+    single = Tracker(model, params, postprocess, TRACKER_CFG, **kw)
+    for blob in seqs[0]:
+        single.step(blob)
+
+    batched = BatchedTracker(
+        model, params, postprocess, TRACKER_CFG, n_sequences=2, **kw
+    )
+    run_batched(batched, [iter(s) for s in seqs])
+    _results_equal(batched.get_results(0), single.get_results())
+    assert batched.get_results(1) == {}
+
+    # every slot empty: step() is a no-op, run_batched terminates
+    batched.reset()
+    run_batched(batched, [iter([]), iter([])])
+    assert batched.get_results(0) == {} and batched.get_results(1) == {}
+
+
 def test_batched_kinematic_equals_single():
     """BatchedTrackerKinematic: N detection sequences through one forward
     equal N independent TrackerKinematic runs (real dual-stream model)."""

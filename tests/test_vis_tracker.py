@@ -178,3 +178,32 @@ def test_vis_results_draws_track_queries(tmp_path):
     vis_results(iv, img, result, None, tracking=True)
     assert iv.count == 1
     assert os.path.exists(os.path.join(str(tmp_path), "vis", "res_0000.jpg"))
+
+
+def test_metrics_sink_jsonl_streams_live(tmp_path):
+    """--metrics_sink jsonl: every plot() point lands in metrics.jsonl
+    immediately (the tail -f live view ≙ reference's live Visdom
+    windows, vis.py:247-374)."""
+    import json
+
+    from kinet_tpu.utils.vis import build_visualizers
+
+    out = str(tmp_path)
+    cfg = {"output_dir": out, "metrics_sink": "jsonl"}
+    vis = build_visualizers(
+        type("C", (), {"get": lambda self, k, d=None: cfg.get(k, d)})()
+    )
+    vis["train"]["iter_metrics"].plot([0.5, 0.1, 0.2, 0.3], 7)
+    vis["val"]["epoch_metrics"].plot([0.9, 0.95, 0.8, 0.85], 1)
+
+    path = os.path.join(out, "vis", "metrics.jsonl")
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) == 8  # streamed before any save()/close()
+    assert rows[0] == {
+        "series": "train iter metrics", "name": "loss", "x": 7.0,
+        "value": 0.5,
+    }
+    assert {r["series"] for r in rows} == {
+        "train iter metrics", "val epoch metrics",
+    }
+    vis["sink"].close()
