@@ -381,6 +381,22 @@ def _quad_all_levels(value_t, spatial_shapes, starts):
     return jnp.concatenate(quads, axis=2)
 
 
+def _quad_all_levels_flat(value_g, spatial_shapes, starts):
+    """[G, S, D] -> [G, S, 4D] quad table over all levels (G = any merged
+    leading dims, e.g. M*B — keeps the leading dim >= 8 so the build never
+    tiles as T(2,128) at small batch)."""
+    g, s, d = value_g.shape
+    quads = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_g[:, starts[lvl] : starts[lvl] + h * w].reshape(
+            g, h, w, d
+        )
+        quads.append(
+            _build_quad(v, axis_x=2, axis_y=1).reshape(g, h * w, 4 * d)
+        )
+    return jnp.concatenate(quads, axis=1)
+
+
 _FLAT_DNUMS = jax.lax.GatherDimensionNumbers(
     offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
 )
@@ -511,15 +527,82 @@ def ms_deform_attn_quad_unroll(
     compute_dtype = (
         value.dtype if value_scale is None else value_scale.dtype
     )
-    value_t = value.transpose(0, 2, 1, 3)  # [B, M, S, D]
-    vq = _quad_all_levels(value_t, spatial_shapes, starts)  # [B, M, S, 4D]
 
-    idx, w4 = _flat_cell_index(sampling_locations, spatial_shapes, starts)
-    # [B, Lq, M, L, P(, 4)] -> [M, B, Lq, L*P(, 4)]
-    idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, b, lq * l * p)
+    if b == 1:
+        # B=1 (the flagship serving path) keeps its own graph: the
+        # [B, M, S, 4D] table build fuses into the producing elementwise
+        # ops and every vq[:, hm] slice is free at B=1. Routing B=1
+        # through the B>1 head-major/BLq formulation below re-materializes
+        # the 5 high-level-layer tables (+0.92 ms/frame of
+        # [8,1,22500,144] builds) and deoptimizes the decoder gather
+        # fusion (0.08 -> 0.14 ms x 10) — a measured 40.0 -> 37.7 fps
+        # headline regression (profile_top_ops, r4).
+        value_t = value.transpose(0, 2, 1, 3)  # [1, M, S, D]
+        vq1 = _quad_all_levels(value_t, spatial_shapes, starts)
+        idx, w4 = _flat_cell_index(
+            sampling_locations, spatial_shapes, starts
+        )
+        idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, lq * l * p)
+        w4 = (
+            w4 * attention_weights[..., None]
+        ).transpose(2, 0, 1, 3, 4, 5).reshape(m, lq, l * p, 4)
+        k_samp = l * p
+        outs = []
+        for hm in range(m):
+            w_h = w4[hm]
+            if value_scale is not None:
+                w_h = w_h * value_scale[0, hm]
+            tbl = vq1[0, hm]  # [S, 4D]
+            rows = idx[hm].reshape(lq, k_samp).T.reshape(lq * k_samp)
+            g = _rows_gather(tbl, rows)  # [K*Lq, 4D]
+            wf = (
+                w_h.transpose(1, 0, 2)
+                .reshape(lq * k_samp, 4).astype(compute_dtype)
+            )
+            acc = wf[:, 0:1] * g[:, :d]
+            for c4 in range(1, 4):
+                acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * d : (c4 + 1) * d]
+            outs.append(jnp.sum(acc.reshape(k_samp, lq, d), axis=0))
+        out = jnp.stack(outs, axis=1)  # [Lq, M, D]
+        return out.reshape(1, lq, m * d).astype(jnp.float32)
+
+    # HEAD-MAJOR table [M, B, S, 4D]: every per-head slice vq[hm] (batched
+    # path) and per-head-per-element slice vq[hm, e] (unrolled path) is a
+    # CONTIGUOUS bitcast. The old [B, M, S, 4D] layout made vq[:, hm] a
+    # strided slice — free at B=1 but a real 0.5 ms copy per layer at B=2
+    # (profiled slice_bitcast_fusion tuples, 800x1440).
+    value_h = value.transpose(2, 0, 1, 3)  # [M, B, S, D]
+    vq = _quad_all_levels_flat(
+        value_h.reshape(m * b, s, d), spatial_shapes, starts
+    ).reshape(m, b, s, 4 * d)
+
+    # Collapse (B, Lq) -> BLq BEFORE any index/weight math: the graph then
+    # matches the B=1 graph with Lq' = B*Lq, which XLA lowers to flat
+    # s32[R]/f32[R,4] scalar-tiled ops. Keeping the 6-D [B, Lq, M, L, P, *]
+    # forms at B>=2 produced T(2,128)-tiled fusions and relayout copies
+    # worth ~10 ms/img at 800x1440 B=2 (profile_top_ops, r4).
+    blq = b * lq
+    k_samp = l * p
+    idx, w4 = _flat_cell_index(
+        sampling_locations.reshape(blq, m, l, p, 2), spatial_shapes, starts
+    )
+    # per-element row offset into the [B*S] flat table, added while idx is
+    # still [BLq, M, L*P] (row value e*S + cell)
+    idx = idx.reshape(blq, m, k_samp)
+    if b > 1:
+        eofs = jnp.repeat(
+            jnp.arange(b, dtype=jnp.int32) * s, lq
+        )  # [BLq]
+        idx_flat = idx + eofs[:, None, None]
+    else:
+        idx_flat = idx
     w4 = (
-        w4 * attention_weights[..., None]
-    ).transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
+        w4 * attention_weights.reshape(blq, m, l, p)[..., None]
+    ).reshape(blq, m, k_samp, 4)
+    # [BLq, M, K(, 4)] -> [M, BLq, K(, 4)]
+    idx_flat = idx_flat.transpose(1, 0, 2)
+    idx = idx.transpose(1, 0, 2)
+    w4 = w4.transpose(1, 0, 2, 3)
 
     if batch_unroll is None:
         batch_unroll = (
@@ -528,9 +611,7 @@ def ms_deform_attn_quad_unroll(
             > _BATCH_UNROLL_TABLE_BYTES
         )
 
-    bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
-    k_samp = l * p
-    r = b * lq * k_samp
+    r = blq * k_samp
     outs = []
     for hm in range(m):
         # SAMPLE-MAJOR row order (r = k * B*Lq + q): the consumer stays in
@@ -539,19 +620,17 @@ def ms_deform_attn_quad_unroll(
         # reshape + axis-0 sum. The q-major einsum formulation forced a
         # T(4,128) relayout of the whole gather output plus a kLoop
         # reduction, each about as expensive as the gather itself.
-        w_h = w4[hm]
+        w_h = w4[hm]  # [BLq, K, 4]
         if value_scale is not None:
-            w_h = w_h * value_scale[:, hm].reshape(b, 1, 1, 1)
+            w_h = w_h * jnp.repeat(value_scale[:, hm], lq)[:, None, None]
         if batch_unroll:
             outs_e = []
             for e in range(b):
-                tbl = vq[e, hm]  # [S, 4D] — B1-size fast-tier table
-                rows = (
-                    idx[hm, e].reshape(lq, k_samp).T.reshape(lq * k_samp)
-                )
+                tbl = vq[hm, e]  # [S, 4D] — B1-size fast-tier table
+                rows = idx[hm, e * lq : (e + 1) * lq].T.reshape(lq * k_samp)
                 g = _rows_gather(tbl, rows)  # [K*Lq, 4D]
                 wf = (
-                    w_h[e].transpose(1, 0, 2)
+                    w_h[e * lq : (e + 1) * lq].transpose(1, 0, 2)
                     .reshape(lq * k_samp, 4).astype(compute_dtype)
                 )
                 acc = wf[:, 0:1] * g[:, :d]
@@ -562,18 +641,15 @@ def ms_deform_attn_quad_unroll(
                 )
             outs.append(jnp.stack(outs_e, axis=0))  # [B, Lq, D]
             continue
-        tbl = vq[:, hm].reshape(b * s, 4 * d)
-        idx_k = idx[hm].reshape(b, lq, k_samp).transpose(2, 0, 1)
-        rows = (idx_k + bofs[None]).reshape(r)
+        tbl = vq[hm].reshape(b * s, 4 * d)  # contiguous view
+        rows = idx_flat[hm].T.reshape(r)  # [K*BLq], k-major
         g = _rows_gather(tbl, rows)  # [K*B*Lq, 4D]
-        wf = (
-            w_h.transpose(2, 0, 1, 3).reshape(r, 4).astype(compute_dtype)
-        )
+        wf = w_h.transpose(1, 0, 2).reshape(r, 4).astype(compute_dtype)
         acc = wf[:, 0:1] * g[:, :d]
         for c4 in range(1, 4):
             acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * d : (c4 + 1) * d]
         outs.append(
-            jnp.sum(acc.reshape(k_samp, b * lq, d), axis=0).reshape(b, lq, d)
+            jnp.sum(acc.reshape(k_samp, blq, d), axis=0).reshape(b, lq, d)
         )
     out = jnp.stack(outs, axis=2)  # [B, Lq, M, D]
     return out.reshape(b, lq, m * d).astype(jnp.float32)
@@ -652,20 +728,79 @@ def ms_deform_attn_raw_pool(
     if src_quad is None:
         src_quad = build_raw_quad(src, spatial_shapes)
 
+    if b == 1:
+        # B=1 serving path keeps its own graph — see the matching branch
+        # in ms_deform_attn_quad_unroll: the BLq-collapsed form below
+        # deoptimizes the decoder gather fusions at B=1 (0.08 -> 0.14 ms
+        # x 10 ops/frame, profile_top_ops r4).
+        idx, w4 = _flat_cell_index(
+            sampling_locations, spatial_shapes, starts, valid_extents
+        )
+        w = w4 * attention_weights[..., None]  # [1, Lq, M, L, P, 4]
+        if quad_scales is not None:
+            w_pool = w * quad_scales[:, None, None, :, None, None]
+        else:
+            w_pool = w
+        idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, lq * l * p)
+        w_pool = w_pool.transpose(2, 0, 1, 3, 4, 5).reshape(
+            m, lq, l * p, 4
+        )
+        w = w.transpose(2, 0, 1, 3, 4, 5).reshape(m, lq, l * p, 4)
+        k_samp = l * p
+        r = lq * k_samp
+        pooled, wsum = [], []
+        vq1 = src_quad.reshape(s, 4 * c)
+        for hm in range(m):
+            rows = idx[hm].reshape(lq, k_samp).T.reshape(r)
+            g = _rows_gather(vq1, rows)  # [K*Lq, 4C]
+            wf = (
+                w_pool[hm].transpose(1, 0, 2)
+                .reshape(r, 4).astype(compute_dtype)
+            )
+            acc = wf[:, 0:1] * g[:, :c]
+            for c4 in range(1, 4):
+                acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * c : (c4 + 1) * c]
+            red = jnp.sum(
+                acc.reshape(k_samp, lq, c).astype(jnp.float32), axis=0
+            )
+            pooled.append(red.reshape(1, lq, c).astype(compute_dtype))
+            wsum.append(jnp.sum(w[hm], axis=(1, 2)).reshape(1, lq))
+        return (
+            jnp.stack(pooled, axis=2),  # [1, Lq, M, C]
+            jnp.stack(wsum, axis=2).astype(jnp.float32),  # [1, Lq, M]
+        )
+
+    # collapse (B, Lq) -> BLq before any index/weight math — same reason
+    # as ms_deform_attn_quad_unroll: the flattened graph matches the B=1
+    # lowering (flat scalar-tiled index ops) instead of T(2,128)-tiled 6-D
+    # fusions at small batch
+    blq = b * lq
     idx, w4 = _flat_cell_index(
-        sampling_locations, spatial_shapes, starts, valid_extents
+        sampling_locations.reshape(blq, m, l, p, 2), spatial_shapes, starts,
+        None if valid_extents is None
+        else jnp.repeat(valid_extents, lq, axis=0),
     )
-    w = w4 * attention_weights[..., None]  # [B, Lq, M, L, P, 4]
+    w = (
+        w4 * attention_weights.reshape(blq, m, l, p)[..., None]
+    )  # [BLq, M, L, P, 4]
     if quad_scales is not None:
         # int8 table: fold the per-level dequant scale into the POOLING
         # weights only (wsum below uses the unscaled w)
-        w_pool = w * quad_scales[:, None, None, :, None, None]
+        w_pool = w * jnp.repeat(
+            quad_scales, lq, axis=0
+        )[:, None, :, None, None]
     else:
         w_pool = w
-    # [B, Lq, M, L, P(, 4)] -> [M, B, Lq*L*P(, 4)]
-    idx = idx.transpose(2, 0, 1, 3, 4).reshape(m, b, lq * l * p)
-    w_pool = w_pool.transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
-    w = w.transpose(2, 0, 1, 3, 4, 5).reshape(m, b, lq, l * p, 4)
+    # [BLq, M, L, P(, 4)] -> [M, BLq, L*P(, 4)]
+    k_samp = l * p
+    idx = idx.reshape(blq, m, k_samp)
+    if b > 1:
+        idx = idx + jnp.repeat(
+            jnp.arange(b, dtype=jnp.int32) * s, lq
+        )[:, None, None]
+    idx = idx.transpose(1, 0, 2)
+    w_pool = w_pool.reshape(blq, m, k_samp, 4).transpose(1, 0, 2, 3)
+    w = w.reshape(blq, m, k_samp, 4).transpose(1, 0, 2, 3)
 
     # NOTE: a per-batch-element unroll (as in ms_deform_attn_quad_unroll)
     # was tried here too for the B>1 train path — the decoder raw table
@@ -674,9 +809,7 @@ def ms_deform_attn_raw_pool(
     # the remote compile service; reverted (see git history). The flagship
     # inference/DP path is batch-1-per-chip, where the batched and
     # unrolled forms coincide.
-    bofs = jnp.arange(b, dtype=jnp.int32).reshape(b, 1) * s
-    k_samp = l * p
-    r = b * lq * k_samp
+    r = blq * k_samp
     pooled, wsum = [], []
     vq = src_quad.reshape(b * s, 4 * c)
     for hm in range(m):
@@ -687,21 +820,20 @@ def ms_deform_attn_raw_pool(
         # needed a T(4,128) relayout of the whole gather output (~0.2 ms
         # x heads x layers), and a reduce_window lowered to a conv that
         # was just as slow.
-        idx_k = idx[hm].reshape(b, lq, k_samp).transpose(2, 0, 1)
-        rows = (idx_k + bofs[None]).reshape(r)
+        rows = idx[hm].T.reshape(r)  # [K*BLq], k-major
         g = _rows_gather(vq, rows)  # [K*B*Lq, 4C]
         wf = (
-            w_pool[hm].transpose(2, 0, 1, 3)
+            w_pool[hm].transpose(1, 0, 2)
             .reshape(r, 4).astype(compute_dtype)
         )
         acc = wf[:, 0:1] * g[:, :c]
         for c4 in range(1, 4):
             acc = acc + wf[:, c4 : c4 + 1] * g[:, c4 * c : (c4 + 1) * c]
         red = jnp.sum(
-            acc.reshape(k_samp, b * lq, c).astype(jnp.float32), axis=0
+            acc.reshape(k_samp, blq, c).astype(jnp.float32), axis=0
         )
         pooled.append(red.reshape(b, lq, c).astype(compute_dtype))
-        wsum.append(jnp.sum(w[hm], axis=(2, 3)))
+        wsum.append(jnp.sum(w[hm], axis=(1, 2)).reshape(b, lq))
     return (
         jnp.stack(pooled, axis=2),  # [B, Lq, M, C]
         jnp.stack(wsum, axis=2).astype(jnp.float32),  # [B, Lq, M]
