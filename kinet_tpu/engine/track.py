@@ -163,6 +163,9 @@ def main_track(cfg, obj_detector_model=None):
         if isinstance(cfg.tracker_cfg, Config)
         else dict(cfg.tracker_cfg)
     )
+    # batched-mode device execution form (tracking/batched.py) — a
+    # top-level track.yaml key, forwarded inside tracker_cfg
+    tracker_cfg.setdefault("batch_exec", cfg.get("batch_exec", "auto"))
     if cfg.get("kinet", False) or train_cfg.get("kine", False):
         from ..tracking.kine_tracker import TrackerKinematic
 

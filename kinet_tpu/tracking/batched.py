@@ -6,14 +6,19 @@ sequences in lock-step through ONE batched jitted forward amortizes
 dispatch latency and fixed per-frame costs — the natural serving
 deployment for multi-camera / multi-clip workloads.
 
-Measured on v5e (scripts/bench_batched_track.py, flagship config): the
-win is RESOLUTION-DEPENDENT because the MSDA gather tables grow with
-batch and fall off the fast gather tier (same mechanism as the training
-batch-scaling finding, PLAN.md):
-  544x960:  B=1 36.9 -> B=2 57.7 aggregate fps (+56%); B=4 regresses
-  800x1440: B=2 already regresses (29.2 aggregate vs 40.3 single) —
-            at flagship resolution keep batch_sequences=1 and scale
-            multi-stream serving across chips instead.
+Two device execution forms, selected by `batch_exec` (default "auto"):
+  stacked     — one [B, ...] forward. Wins when frames are small enough
+                that per-frame time is dispatch-dominated: 544x960 B=2 =
+                +56% aggregate fps (36.9 -> 57.7).
+  interleaved — B inlined B=1 subgraphs inside one jit. At large frames
+                the stacked MSDA tables tile as T(2,128) and pay relayout
+                copies (~7 ms/frame at 800x1440 B=2, profile_top_ops r4);
+                interleaving keeps each subgraph's optimal single-stream
+                lowering while still amortizing host dispatch. 800x1440
+                B=2: stacked 34.6 vs interleaved 40.4 vs 39.9 single.
+At flagship resolution the device is the bottleneck (cached-frame device
+time 22.15 ms vs 25.06 ms wall) so batching can only recover the ~3 ms
+host gap — large aggregate wins exist only in the small-frame regime.
 
 Design: N untouched `Tracker` instances keep their per-sequence host
 state machines; this class only moves WHERE the forward runs. Each step,
@@ -32,9 +37,52 @@ from __future__ import annotations
 
 from collections import deque
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .tracker import Tracker
+
+
+# Per-frame pixel count above which the stacked-batch graph loses to
+# interleaved execution (measured crossover between 544x960, where
+# stacked is +56%, and 800x1440, where stacked regresses ~14% and
+# interleaved holds parity+1%; scripts/bench_batched_track.py /
+# bench_interleaved_track.py, v5e).
+_STACKED_MAX_PIXELS = 544 * 960
+
+
+def _make_interleaved_fwd(fwd, n: int):
+    """One jit stepping n sequences as n SINGLE-STREAM subgraph calls.
+
+    At large resolutions the stacked [B, ...] graph pays real layout
+    costs: the B-scaled MSDA tables tile as T(2,128) and need relayout
+    copies + slice passes worth ~7 ms/frame at 800x1440 B=2
+    (profile_top_ops r4). Inlining the B=1 forward n times keeps each
+    subgraph's optimal single-stream lowering; the batch still amortizes
+    host dispatch (one transfer + one dispatch per n frames). Measured:
+    B=2 800x1440 aggregate 34.6 (stacked) vs 40.4 (interleaved) vs 39.9
+    single-stream fps."""
+
+    def row(tree, e):
+        return jax.tree_util.tree_map(lambda x: x[e : e + 1], tree)
+
+    @jax.jit
+    def run(params, batch, targets, orig_size, prev_features, prev_memory,
+            pos_cache):
+        rows = [
+            fwd(
+                params, row(batch, e), row(targets, e), row(orig_size, e),
+                row(prev_features, e), row(prev_memory, e),
+                row(pos_cache, e),
+            )
+            for e in range(n)
+        ]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *rows
+        )
+
+    return run
 
 
 def _stage_inputs(trackers, blobs, last_inputs):
@@ -85,6 +133,14 @@ class BatchedTracker:
         # one shared jitted forward; jit specializes per batch size, so a
         # BatchedTracker(B) and plain Trackers (B=1) coexist in one cache
         self._fwd = self.trackers[0]._fwd
+        # batch_exec: "stacked" = one [B, ...] forward (wins when frames
+        # are small / dispatch-bound), "interleaved" = B inlined B=1
+        # subgraphs in one jit (wins at large frames where the stacked
+        # MSDA tables pay layout copies), "auto" = by frame pixel count.
+        self._batch_exec = str(tracker_cfg.get("batch_exec", "auto"))
+        if self._batch_exec not in ("auto", "stacked", "interleaved"):
+            raise ValueError(f"unknown batch_exec {self._batch_exec!r}")
+        self._fwd_interleaved = None  # built lazily on first use
         self._prev_frame_dist = self.trackers[0].prev_frame_dist
         self.reset()
 
@@ -100,6 +156,21 @@ class BatchedTracker:
         self._pos_cache = None
         self._last_inputs: list[dict | None] = [None] * len(self.trackers)
 
+    def _select_fwd(self, batch):
+        if len(self.trackers) == 1:
+            return self._fwd
+        mode = self._batch_exec
+        if mode == "auto":
+            pixels = int(batch.images.shape[1]) * int(batch.images.shape[2])
+            mode = "stacked" if pixels <= _STACKED_MAX_PIXELS else "interleaved"
+        if mode == "stacked":
+            return self._fwd
+        if self._fwd_interleaved is None:
+            self._fwd_interleaved = _make_interleaved_fwd(
+                self._fwd, len(self.trackers)
+            )
+        return self._fwd_interleaved
+
     def step(self, blobs: list):
         """blobs[i]: the next frame blob of sequence i, or None once that
         sequence is finished (its slot repeats its last inputs; outputs
@@ -113,7 +184,8 @@ class BatchedTracker:
             for k in inputs[0]
         }
         batch, targets, orig_size = Tracker.make_device_inputs(stacked)
-        res = self._fwd(
+        fwd = self._select_fwd(batch)
+        res = fwd(
             self.params, batch, targets, orig_size,
             self._prev_features[0], self._prev_memory[0], self._pos_cache,
         )

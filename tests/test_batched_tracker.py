@@ -86,7 +86,7 @@ def _results_equal(a, b, atol=1e-3):
             assert abs(a[tid][f]["score"] - b[tid][f]["score"]) < 1e-3
 
 
-def _run_equivalence(cfg, n_seq=2, n_frames=3):
+def _run_equivalence(cfg, n_seq=2, n_frames=3, tracker_cfg=TRACKER_CFG):
     model, _, _ = build_model(cfg)
     seqs = _sequences(n_seq=n_seq, n_frames=n_frames)
     b0 = seqs[0][0]
@@ -108,14 +108,14 @@ def _run_equivalence(cfg, n_seq=2, n_frames=3):
 
     singles = []
     for s in range(n_seq):
-        tr = Tracker(model, params, postprocess, TRACKER_CFG, **kw)
+        tr = Tracker(model, params, postprocess, tracker_cfg, **kw)
         for blob in seqs[s]:
             tr.step(blob)
         singles.append(tr.get_results())
         assert singles[-1], "no tracks spawned — fixture broken"
 
     batched = BatchedTracker(
-        model, params, postprocess, TRACKER_CFG, n_sequences=n_seq, **kw
+        model, params, postprocess, tracker_cfg, n_sequences=n_seq, **kw
     )
     run_batched(batched, [iter(s) for s in seqs])
     for s in range(n_seq):
@@ -124,6 +124,25 @@ def _run_equivalence(cfg, n_seq=2, n_frames=3):
 
 def test_batched_equals_single_vanilla_detr():
     _run_equivalence(_tiny_cfg())
+
+
+def test_batched_interleaved_equals_single():
+    """batch_exec=interleaved (B inlined B=1 subgraphs in one jit) must
+    produce the same per-sequence results as independent Trackers —
+    including the stacked memory/pos caches of the flagship family."""
+    cfg = load_config(
+        "train.yaml",
+        named=["train_deformable", "train_tracking", "train_multi_frame"],
+    ).replace(
+        dataset="mot", backbone="resnet_test", hidden_dim=32, nheads=2,
+        enc_layers=2, dec_layers=1, dim_feedforward=64, num_queries=12,
+        max_objects=5, max_track_queries=4, dropout=0.0,
+        num_feature_levels=4, dec_n_points=2, enc_n_points=2,
+    )
+    _run_equivalence(
+        cfg, n_seq=2, n_frames=3,
+        tracker_cfg={**TRACKER_CFG, "batch_exec": "interleaved"},
+    )
 
 
 def test_batched_equals_single_flagship_family():
