@@ -127,17 +127,75 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
     log(f"checksum: {s}")
     fps = ITERS * b / dt
+    device_ms = dt / ITERS * 1e3  # one dispatch per K frames ≈ device time
 
-    print(
-        json.dumps(
-            {
-                "metric": "mot17_800px_flagship_inference",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / REFERENCE_GPU_HZ, 3),
-            }
+    # per-frame-dispatch mode (what the live Tracker pays: one jit call +
+    # one scalar sync per frame) — the delta vs the scan is the host gap.
+    # NOTE: in this environment the chip is behind a remote tunnel, so
+    # host_ms is dominated by the tunnel round-trip (~20 ms), not real
+    # host work; co-located serving pays 1-3 ms. The recurrent tracker
+    # state (frame n+1's track queries depend on frame n's outputs) makes
+    # this RTT unhideable for a single stream — batch_sequences>1
+    # amortizes it (one dispatch per B frames, tracking/batched.py).
+    @jax.jit
+    def one_frame_call(params, batch, targets, memory, pos_cache):
+        out = model.apply(
+            params, batch, targets, prev_memory=memory, pos_cache=pos_cache
         )
+        return out["frame_memory"], jnp.sum(out["pred_boxes"])
+
+    mem = feats
+    mem, chk = one_frame_call(params, batch, targets, mem, pos_cache)
+    float(chk)  # compile + settle
+    dt1 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            mem, chk = one_frame_call(params, batch, targets, mem, pos_cache)
+            float(chk)  # actual value transfer closes each frame
+        dt1 = min(dt1, (time.perf_counter() - t0) / 5)
+    host_ms = max(dt1 * 1e3 - device_ms, 0.0)
+    log(
+        f"per-frame dispatch: {dt1 * 1e3:.2f} ms "
+        f"(device {device_ms:.2f} + host/dispatch {host_ms:.2f})"
     )
+
+    # MFU / roofline: XLA's own cost model for the compiled K-frame graph.
+    # v5e (TPU v5 lite) peaks: 197 TFLOP/s bf16, ~819 GB/s HBM.
+    mfu = hbm_util = None
+    try:
+        ca = run_frames.lower(
+            params, batch, targets, feats, pos_cache
+        ).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_frame = float(ca.get("flops", 0.0)) / ITERS
+        bytes_frame = float(ca.get("bytes accessed", 0.0)) / ITERS
+        if flops_frame > 0:
+            mfu = flops_frame / (dt / ITERS) / 197e12
+        if bytes_frame > 0:
+            hbm_util = bytes_frame / (dt / ITERS) / 819e9
+        log(
+            f"cost model: {flops_frame / 1e9:.1f} GFLOP/frame, "
+            f"{bytes_frame / 1e9:.2f} GB/frame -> "
+            f"MFU {100 * (mfu or 0):.2f}%, HBM {100 * (hbm_util or 0):.1f}%"
+        )
+    except Exception as e:  # cost_analysis availability varies by backend
+        log(f"cost_analysis unavailable: {e!r}")
+
+    out = {
+        "metric": "mot17_800px_flagship_inference",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / REFERENCE_GPU_HZ, 3),
+        "device_ms": round(device_ms, 2),
+        "host_ms": round(host_ms, 2),
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    if hbm_util is not None:
+        out["hbm_util"] = round(hbm_util, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
