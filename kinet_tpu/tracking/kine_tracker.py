@@ -101,6 +101,19 @@ class TrackerKinematic(Tracker):
         self.snap_to_detections = bool(
             tracker_cfg.get("snap_to_detections", False)
         )
+        # Spawn-row layout after the track slots: the encoder-only
+        # associator outputs ONE ROW PER INPUT DETECTION (padding rows are
+        # key-masked noise — only the blob's real detections are spawn
+        # candidates), while the query-based models (KineT /
+        # KinematicDetectorTransformer) output num_object_queries DECODER
+        # QUERIES there in arbitrary order — every query row is a spawn
+        # candidate (≙ reference tracker.py:269-344, which slices all
+        # object-query rows as detections). Slicing only the first
+        # _num_dets query rows silently dropped most spawn candidates for
+        # the dual-stream model (gate: one object never spawned).
+        self.rows_per_detection = (
+            type(model).__name__ == "KinematicDetectorEncoder"
+        )
 
         @jax.jit
         def fwd(params, kb, targets, orig_size):
@@ -204,6 +217,13 @@ class TrackerKinematic(Tracker):
             {k: np.asarray(res[k][0]) for k in self._ROW_KEYS}, blob
         )
 
+    def _num_spawn_rows(self) -> int:
+        return (
+            self._num_dets
+            if self.rows_per_detection
+            else self.num_object_queries
+        )
+
     def _consume(self, out: dict, blob: dict):
         """Phase 2 of step(): the kinematic host state machine over one
         sequence's forward outputs (numpy, row-selected)."""
@@ -257,7 +277,7 @@ class TrackerKinematic(Tracker):
                 # DETECTION rows: independent snap (their boxes are
                 # near-copies of their own detection; duplicates among
                 # spawns are handled by detection-NMS)
-                lo, hi = t_slots, t_slots + self._num_dets
+                lo, hi = t_slots, t_slots + self._num_spawn_rows()
                 if hi > lo:
                     iou_d = iou_matrix_np(boxes_abs[lo:hi], dets_xyxy)
                     best = iou_d.argmax(axis=1)
@@ -324,10 +344,11 @@ class TrackerKinematic(Tracker):
                 ]
 
         # ----- new detections (rows after the track slots) -----
-        # only the blob's REAL detections — rows beyond _num_dets are
-        # padding whose scores are meaningless (the model never sees them:
-        # they are key-masked at train and inference time)
-        nd_hi = t_slots + self._num_dets
+        # encoder-only: only the blob's REAL detections (rows beyond
+        # _num_dets are padding whose scores are meaningless — key-masked
+        # at train and inference time); query-based models: ALL object-
+        # query rows (see rows_per_detection in __init__)
+        nd_hi = t_slots + self._num_spawn_rows()
         nd_scores = scores[t_slots:nd_hi]
         nd_labels = labels[t_slots:nd_hi]
         nd_boxes = boxes_abs[t_slots:nd_hi]
