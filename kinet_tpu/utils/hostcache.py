@@ -15,6 +15,7 @@ initializes its backends.
 """
 from __future__ import annotations
 
+import glob
 import hashlib
 import platform
 
@@ -29,10 +30,23 @@ def _cpu_fingerprint() -> str:
                 if line.startswith(("flags", "Features")):
                     bits.append(" ".join(sorted(line.split(":", 1)[1].split())))
                     break
-                if line.startswith("model name"):
+                if line.startswith(("model name", "microcode", "stepping")):
                     bits.append(line.split(":", 1)[1].strip())
     except OSError:
         bits.append(platform.processor())
+    # LLVM derives tuning features (e.g. +prefer-no-gather/-scatter, set when
+    # the GDS "downfall" mitigation is active) from more than cpuid flags; two
+    # hosts with identical /proc/cpuinfo flags but different microcode or
+    # mitigation status produce incompatible XLA:CPU AOT code (observed:
+    # cpu_aot_loader.cc "+prefer-no-gather is not supported on the host
+    # machine" on every cache load after a round driver moved /tmp to a new
+    # host). Fold the mitigation state in so such hosts get separate caches.
+    for vf in sorted(glob.glob("/sys/devices/system/cpu/vulnerabilities/*")):
+        try:
+            with open(vf) as f:
+                bits.append(f"{vf.rsplit('/', 1)[1]}={f.read().strip()}")
+        except OSError:
+            pass
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:10]
 
 
