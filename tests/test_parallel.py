@@ -58,6 +58,69 @@ def test_optimizer_param_groups():
             ), lab
 
 
+def test_spatial_parallel_forward():
+    """SP on an 8-device mesh: ONE frame's HEIGHT dim sharded over all
+    devices (parallel/sp.py) — GSPMD spatially partitions the backbone
+    convs (halo exchange) and the flattened encoder tokens; the output
+    must equal the replicated forward to float-reorder noise."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kinet_tpu.config import load_config
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.parallel.mesh import make_mesh
+    from kinet_tpu.parallel.sp import make_spatial_apply, spatial_place
+    from kinet_tpu.structs import ImageBatch, Targets
+
+    cfg = load_config(
+        "train.yaml", named=["train_deformable", "train_tracking"]
+    ).replace(
+        dataset="mot", backbone="resnet_test", hidden_dim=32, nheads=2,
+        enc_layers=1, dec_layers=1, dim_feedforward=64, num_queries=8,
+        max_track_queries=8, dropout=0.0, aux_loss=False,
+        num_feature_levels=2, dec_n_points=2, enc_n_points=2,
+        with_box_refine=False,
+    )
+    model, _, _ = build_model(cfg)
+    batch = ImageBatch(
+        images=jax.random.normal(jax.random.PRNGKey(0), (1, 64, 96, 3)),
+        pad_mask=jnp.zeros((1, 64, 96), bool),
+    )
+    targets = Targets.create(
+        jnp.asarray([[[0.3, 0.3, 0.2, 0.2], [0.7, 0.6, 0.15, 0.25]]]),
+        jnp.zeros((1, 2), jnp.int32), jnp.ones((1, 2), bool),
+        num_track_queries=8, hidden_dim=32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    rep = NamedSharding(mesh, P())
+    p_rep = jax.device_put(params, rep)
+
+    # spatially-partitioned forward: height split 8-ways, params replicated
+    sp_apply = make_spatial_apply(model, mesh)
+    sp_batch = spatial_place(mesh, batch)
+    assert sp_batch.images.sharding.spec == P(None, "data")
+    out_sp = sp_apply(p_rep, sp_batch, jax.device_put(targets, rep),
+                      deterministic=True)
+
+    # replicated reference forward on the same mesh
+    with mesh:
+        out_rep = jax.jit(model.apply, out_shardings=rep)(
+            p_rep, jax.device_put(batch, rep), jax.device_put(targets, rep),
+            deterministic=True,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_sp["pred_logits"]),
+        np.asarray(out_rep["pred_logits"]), atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sp["pred_boxes"]),
+        np.asarray(out_rep["pred_boxes"]), atol=2e-5,
+    )
+    # outputs land replicated: the host tracker consumes whole rows
+    assert out_sp["pred_boxes"].sharding.is_fully_replicated
+
+
 def test_tensor_parallel_train_step():
     """DP x TP on a 4x2 mesh: Megatron-style weight shardings via GSPMD
     (parallel/tp.py) — the train step must compile, run, and produce the
