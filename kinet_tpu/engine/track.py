@@ -199,6 +199,25 @@ def main_track(cfg, obj_detector_model=None):
                 "DETR."
             )
             model = dataclasses.replace(model, generate_attention_maps=True)
+        # single-stream latency mode: split each frame's height over N
+        # chips (parallel/sp.py). The reference binds one stream to one
+        # GPU (src/track.py), so it has no equivalent.
+        sp_n = int(cfg.get("spatial_parallel", 0))
+        spatial_mesh = None
+        if sp_n > 1:
+            import jax as _jax
+
+            from ..parallel.mesh import make_mesh
+
+            assert int(cfg.get("batch_sequences", 1)) <= 1, (
+                "spatial_parallel and batch_sequences>1 are mutually "
+                "exclusive serving modes"
+            )
+            assert len(_jax.devices()) >= sp_n, (
+                f"spatial_parallel={sp_n} but only "
+                f"{len(_jax.devices())} devices"
+            )
+            spatial_mesh = make_mesh(n_data=sp_n, n_model=1)
         tracker = Tracker(
             model,
             params,
@@ -209,6 +228,7 @@ def main_track(cfg, obj_detector_model=None):
             hidden_dim=int(train_cfg.hidden_dim),
             overflow_boxes=bool(train_cfg.get("overflow_boxes", False)),
             generate_attention_maps=gen_attn,
+            spatial_mesh=spatial_mesh,
         )
 
     dataset = TrackDatasetFactory(

@@ -83,12 +83,20 @@ class Track:
         self.last_pos = [self.pos.copy()]
 
 
-def make_forward_fn(model, params, postprocess, attention_maps=False):
+def make_forward_fn(model, params, postprocess, attention_maps=False,
+                    spatial_mesh=None):
     """Jitted per-frame forward with padded track-query slots.
 
     attention_maps: extract the sowed decoder cross-attention weights
     (model built with generate_attention_maps=True) as per-query maps
-    [Q, Hf, Wf] (≙ reference forward hooks, tracker.py:39-62)."""
+    [Q, Hf, Wf] (≙ reference forward hooks, tracker.py:39-62).
+
+    spatial_mesh: optional jax Mesh — spatially partition each frame's
+    HEIGHT dim over the mesh's `data` axis (parallel/sp.py design; the
+    reference binds one stream to one GPU, src/track.py, so single-stream
+    latency has a hard single-device floor there). Params must be
+    replicated over the mesh; outputs land replicated for the host
+    state machine."""
 
     def _find_sowed(tree):
         if isinstance(tree, dict):
@@ -108,9 +116,8 @@ def make_forward_fn(model, params, postprocess, attention_maps=False):
     # output instead of re-encoding the previous frame every step
     model_caches_memory = bool(getattr(model, "cache_prev_encoder", False))
 
-    @jax.jit
-    def fwd(params, batch, targets, orig_size, prev_features, prev_memory,
-            pos_cache):
+    def fwd_impl(params, batch, targets, orig_size, prev_features,
+                 prev_memory, pos_cache):
         kwargs = {}
         if model_takes_prev:
             kwargs["prev_features"] = prev_features
@@ -154,7 +161,30 @@ def make_forward_fn(model, params, postprocess, attention_maps=False):
                 )
         return ret
 
-    return fwd
+    if spatial_mesh is None:
+        return jax.jit(fwd_impl)
+
+    # spatially-partitioned single-stream serving: HEIGHT dim split over
+    # the mesh's `data` axis (parallel/sp.py). Params/caches replicated;
+    # outputs replicated so the host state machine reads whole rows.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(spatial_mesh, P())
+    img_sh = NamedSharding(spatial_mesh, P(None, "data"))
+    jit_fwd = jax.jit(fwd_impl, out_shardings=rep)
+
+    def fwd_sp(params, batch, targets, orig_size, prev_features,
+               prev_memory, pos_cache):
+        if batch.images.sharding != img_sh:
+            batch = batch.replace(
+                images=jax.device_put(batch.images, img_sh),
+                pad_mask=jax.device_put(batch.pad_mask, img_sh),
+            )
+        with spatial_mesh:
+            return jit_fwd(params, batch, targets, orig_size,
+                           prev_features, prev_memory, pos_cache)
+
+    return fwd_sp
 
 
 class Tracker:
@@ -171,12 +201,19 @@ class Tracker:
         verbose: bool = False,
         logger=None,
         generate_attention_maps: bool = False,
+        spatial_mesh=None,
     ):
         self.model = model
+        if spatial_mesh is not None:
+            from ..parallel.sp import replicate
+
+            params = replicate(spatial_mesh, params)
         self.params = params
         self.generate_attention_maps = generate_attention_maps
         self._fwd = make_forward_fn(
-            model, params, postprocess, attention_maps=generate_attention_maps
+            model, params, postprocess,
+            attention_maps=generate_attention_maps,
+            spatial_mesh=spatial_mesh,
         )
         self.num_object_queries = num_object_queries
         self.num_track_slots = num_track_slots

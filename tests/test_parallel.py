@@ -121,6 +121,98 @@ def test_spatial_parallel_forward():
     assert out_sp["pred_boxes"].sharding.is_fully_replicated
 
 
+def test_spatial_parallel_tracker_session():
+    """The full host tracker state machine served over an 8-device SP
+    mesh (Tracker(spatial_mesh=...) → make_forward_fn sp path) must
+    produce the same tracks as the single-device tracker."""
+    from kinet_tpu.config import load_config
+    from kinet_tpu.models.build import build_model
+    from kinet_tpu.models.postprocess import build_postprocessors
+    from kinet_tpu.parallel.mesh import make_mesh
+    from kinet_tpu.structs import ImageBatch, Targets
+    from kinet_tpu.tracking.tracker import Tracker
+
+    cfg = load_config(
+        "train.yaml", named=["train_deformable", "train_tracking"]
+    ).replace(
+        dataset="mot", backbone="resnet_test", hidden_dim=32, nheads=2,
+        enc_layers=1, dec_layers=1, dim_feedforward=64, num_queries=8,
+        max_track_queries=8, dropout=0.0, aux_loss=False,
+        num_feature_levels=2, dec_n_points=2, enc_n_points=2,
+        with_box_refine=False,
+    )
+    model, _, _ = build_model(cfg)
+    batch = ImageBatch(
+        images=jax.random.normal(jax.random.PRNGKey(0), (1, 64, 96, 3)),
+        pad_mask=jnp.zeros((1, 64, 96), bool),
+    )
+    targets = Targets.create(
+        jnp.asarray([[[0.3, 0.3, 0.2, 0.2], [0.7, 0.6, 0.15, 0.25]]]),
+        jnp.zeros((1, 2), jnp.int32), jnp.ones((1, 2), bool),
+        num_track_queries=8, hidden_dim=32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+    # make spawns deterministic: push the class-0 logit well above the
+    # focal-prior init so every query detects class 0 (num_classes=20 for
+    # mot → argmax label is otherwise uniform-random at init)
+    import flax
+
+    params = flax.core.unfreeze(params)
+
+    def _boost(tree):
+        for k, v in tree.items():
+            if not isinstance(v, dict):
+                continue
+            if k.startswith("class_embed") and "bias" in v:
+                v["bias"] = jnp.asarray(np.asarray(v["bias"])).at[0].set(2.0)
+            else:
+                _boost(v)
+
+    _boost(params["params"])
+
+    post = build_postprocessors(cfg)["bbox"]
+    tracker_cfg = dict(
+        detection_obj_score_thresh=0.005, track_obj_score_thresh=0.005,
+        detection_nms_thresh=0.9, track_nms_thresh=0.9,
+        public_detections=False, inactive_patience=-1,
+        reid_sim_threshold=0.0, reid_sim_only=False,
+        reid_score_thresh=0.005, reid_greedy_matching=False,
+        prev_frame_dist=1, steps_termination=1,
+    )
+
+    def run(mesh):
+        t = Tracker(
+            model, params, post, tracker_cfg,
+            num_object_queries=8, num_track_slots=8, hidden_dim=32,
+            spatial_mesh=mesh,
+        )
+        for i in range(3):
+            img = jax.random.normal(
+                jax.random.PRNGKey(10 + i), (1, 64, 96, 3)
+            )
+            t.step({
+                "images": np.asarray(img),
+                "pad_mask": np.zeros((1, 64, 96), bool),
+                "orig_size": (128, 192),
+                "dets": np.zeros((0, 4), np.float32),
+            })
+        return t.get_results()
+
+    res_sp = run(make_mesh(n_data=8, n_model=1))
+    res_single = run(None)
+    # at init-scale logits something always clears the 0.05 threshold —
+    # assert the session did real work, then exact track-level agreement
+    assert res_single, "no tracks spawned — test lost its teeth"
+    assert set(res_sp) == set(res_single)
+    for tid in res_single:
+        assert set(res_sp[tid]) == set(res_single[tid])
+        for frame in res_single[tid]:
+            a, b = res_sp[tid][frame], res_single[tid][frame]
+            assert a["obj_ind"] == b["obj_ind"]
+            np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-4)
+            np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+
+
 def test_tensor_parallel_train_step():
     """DP x TP on a 4x2 mesh: Megatron-style weight shardings via GSPMD
     (parallel/tp.py) — the train step must compile, run, and produce the
