@@ -153,6 +153,7 @@ def build_model(cfg):
             enc_lite_klevels=int(cfg.get("enc_lite_klevels", 0)),
             enc_lite_high_klevels=int(cfg.get("enc_lite_high_klevels", 0)),
             dec_gather_raw=bool(cfg.get("dec_gather_raw", False)),
+            dec_klevels=int(cfg.get("dec_klevels", 0)),
             dec_msda_int8=bool(cfg.get("dec_msda_int8", False)),
             msda_ref_normalizer=bool(cfg.get("msda_ref_normalizer", False)),
             masks=cfg.masks,

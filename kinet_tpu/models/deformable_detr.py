@@ -66,6 +66,7 @@ class DeformableDETR(nn.Module):
     enc_lite_klevels: int = 0  # low-level update: sample k finest levels
     enc_lite_high_klevels: int = 0  # high-level updates: k finest levels
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
+    dec_klevels: int = 0  # decoder samples only the k finest levels/frame
     dec_msda_int8: bool = False  # int8 decoder quad tables (lossy, infer)
     msda_ref_normalizer: bool = False  # fork's (H, W) offset normalizer
     # (swapped vs upstream; needed for bit-faithful fork-checkpoint use)
@@ -143,6 +144,7 @@ class DeformableDETR(nn.Module):
             enc_lite_klevels=self.enc_lite_klevels,
             enc_lite_high_klevels=self.enc_lite_high_klevels,
             dec_gather_raw=self.dec_gather_raw,
+            dec_klevels=self.dec_klevels,
             dec_int8_quad=self.dec_msda_int8,
             msda_ref_normalizer=self.msda_ref_normalizer,
             remat=self.remat,

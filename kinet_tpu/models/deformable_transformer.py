@@ -591,8 +591,25 @@ class DeformableTransformer(nn.Module):
     dec_gather_raw: bool = False  # decoder cross-attn gather-then-project
     dec_int8_quad: bool = False  # int8 decoder quad tables at inference
     # (accuracy-unsafe: quantization error; gate via allow_lossy)
+    # Decoder cross-attn samples only the k FINEST levels of EACH frame
+    # (0 = all). Gather cost is per-row and decoder rows scale linearly
+    # with sampled levels, so k=2 halves the decoder MSDA rows at the
+    # flagship 4-levels-per-frame config while keeping the per-frame
+    # temporal split (the decoder still samples BOTH frames — that is
+    # where multi-frame association information enters the queries).
+    # SEMANTIC change (the per-level offset/weight params shrink to
+    # k*frames levels — not torch-checkpoint-compatible when set):
+    # accuracy-gate with the chip-scale hard synthetic-MOT session
+    # before adopting, like enc_lite_high_klevels.
+    dec_klevels: int = 0
     msda_ref_normalizer: bool = False  # fork (H, W) offset normalizer
     remat: bool = False
+
+    def _dec_frames_half(self):
+        frames = 2 if self.multi_frame_attention_separate_encoder else 1
+        half = self.num_feature_levels // frames
+        k = min(self.dec_klevels, half) if self.dec_klevels else half
+        return frames, half, k
 
     def setup(self):
         enc_levels = self.num_feature_levels
@@ -608,9 +625,10 @@ class DeformableTransformer(nn.Module):
             ref_normalizer=self.msda_ref_normalizer,
             remat=self.remat,
         )
+        dec_frames, _, dec_k = self._dec_frames_half()
         self.decoder = DeformableDecoder(
             self.num_decoder_layers, self.d_model, self.dim_feedforward,
-            self.dropout, self.activation, self.num_feature_levels,
+            self.dropout, self.activation, dec_k * dec_frames,
             self.nheads, self.dec_n_points, gather_raw=self.dec_gather_raw,
             ref_normalizer=self.msda_ref_normalizer,
         )
@@ -824,6 +842,42 @@ class DeformableTransformer(nn.Module):
                 )
 
         init_reference = reference_points
+
+        # dec_klevels: restrict what the DECODER cross-attn samples to the
+        # k finest levels of EACH frame. The finest levels are a contiguous
+        # prefix of each frame's half in the level-major token layout, so
+        # each frame contributes one slice. Everything downstream (quad
+        # tables, pad mask, valid ratios, reference-point scaling) uses the
+        # restricted views; the returned `memory` stays full (two-stage
+        # proposals and segmentation heads consume all levels).
+        frames_dec, half_dec, k_dec = self._dec_frames_half()
+        if k_dec < half_dec:
+            lvl_starts = [0]
+            for h, w in spatial_shapes:
+                lvl_starts.append(lvl_starts[-1] + h * w)
+            kept = [
+                f * half_dec + j for f in range(frames_dec) for j in range(k_dec)
+            ]
+            spans = [
+                (lvl_starts[f * half_dec], lvl_starts[f * half_dec + k_dec])
+                for f in range(frames_dec)
+            ]
+
+            def keep_tokens(x):
+                parts = [x[:, a:b] for a, b in spans]
+                return parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=1
+                )
+
+            dec_shapes = tuple(spatial_shapes[i] for i in kept)
+            dec_memory = keep_tokens(memory)
+            dec_mask = keep_tokens(mask_flat)
+            dec_vr = valid_ratios[:, jnp.asarray(kept)]
+        else:
+            dec_shapes = tuple(spatial_shapes)
+            dec_memory, dec_mask, dec_vr = memory, mask_flat, valid_ratios
+        dec_half_l = len(dec_shapes) // 2  # kept levels per frame (cached path)
+
         src_quad = None
         quad_cur = None  # bf16 array, or (int8 table, scale [B]) cache item
         src_quad_scales = None
@@ -846,11 +900,11 @@ class DeformableTransformer(nn.Module):
                 return build_raw_quad(q8, shapes), s8
 
             if prev_encoded is not None or prev_is_current:
-                half_shapes = spatial_shapes[:half_l]
+                half_shapes = dec_shapes[:dec_half_l]
                 s_half = sum(h * w for h, w in half_shapes)
                 tbl_cur, s_cur = make_table(
                     jnp.where(
-                        mask_flat[:, :s_half, None], 0.0, memory[:, :s_half]
+                        dec_mask[:, :s_half, None], 0.0, dec_memory[:, :s_half]
                     ),
                     half_shapes,
                 )
@@ -876,35 +930,35 @@ class DeformableTransformer(nn.Module):
                 else:
                     tbl_prev, s_prev = make_table(
                         jnp.where(
-                            mask_flat[:, s_half:, None], 0.0,
-                            memory[:, s_half:],
+                            dec_mask[:, s_half:, None], 0.0,
+                            dec_memory[:, s_half:],
                         ),
-                        spatial_shapes[half_l:],
+                        dec_shapes[dec_half_l:],
                     )
                 src_quad = jnp.concatenate([tbl_cur, tbl_prev], axis=1)
                 if int8:
                     src_quad_scales = jnp.concatenate(
                         [
-                            jnp.tile(s_cur[:, None], (1, half_l)),
+                            jnp.tile(s_cur[:, None], (1, dec_half_l)),
                             jnp.tile(
                                 s_prev[:, None],
-                                (1, len(spatial_shapes) - half_l),
+                                (1, len(dec_shapes) - dec_half_l),
                             ),
                         ],
                         axis=1,
                     )
             else:
                 src_quad, s_all = make_table(
-                    jnp.where(mask_flat[..., None], 0.0, memory),
-                    spatial_shapes,
+                    jnp.where(dec_mask[..., None], 0.0, dec_memory),
+                    dec_shapes,
                 )
                 if int8:
                     src_quad_scales = jnp.tile(
-                        s_all[:, None], (1, len(spatial_shapes))
+                        s_all[:, None], (1, len(dec_shapes))
                     )
         hs, inter_refs = self.decoder(
-            tgt, reference_points, memory, spatial_shapes, valid_ratios,
-            query_pos, mask_flat, query_pad_mask, bbox_embed_fns, deterministic,
+            tgt, reference_points, dec_memory, dec_shapes, dec_vr,
+            query_pos, dec_mask, query_pad_mask, bbox_embed_fns, deterministic,
             src_quad, src_quad_scales,
         )
         return (

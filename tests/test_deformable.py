@@ -360,3 +360,86 @@ def test_enc_lite_high_klevels():
     g = jax.jit(jax.grad(loss_fn))(p1)
     gnorm = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
     assert jnp.isfinite(gnorm) and gnorm > 0
+
+
+def test_dec_klevels_decoder_ignores_coarse_levels():
+    """dec_klevels=k: the decoder cross-attn must sample ONLY the k finest
+    levels of each frame. Oracle: in the cached-prev-memory path the prev
+    half of the token sequence feeds NOTHING but the decoder, so perturbing
+    its dropped (coarse) levels must leave the outputs bit-identical —
+    while the unrestricted model must see the perturbation."""
+    base = dict(
+        tracking=True,
+        multi_frame_attention=True,
+        multi_frame_encoding=True,
+        with_box_refine=True,
+        cache_prev_encoder=True,
+        dec_gather_raw=True,
+        hidden_dim=36,
+    )
+    batch, targets = make_batch(jax.random.PRNGKey(0), hidden=36, t=4)
+
+    def two_frame_delta(dec_klevels):
+        cfg = dcfg(dec_klevels=dec_klevels, **base)
+        model, _, _ = build_model(cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), batch, targets)
+        out1 = jax.jit(model.apply)(params, batch, targets)
+        mem, pad = out1["frame_memory"][0], out1["frame_memory"][1]
+        # levels at 64x96: (8,12)+(4,6)+(2,3)+(1,2) -> 96+24+6+2 = 128
+        assert mem.shape[1] == 128
+        fwd = jax.jit(
+            lambda p, b_, t_, pm: model.apply(p, b_, t_, prev_memory=pm)
+        )
+        # perturb the prev half's two COARSEST levels (last 8 tokens);
+        # pass the 2-tuple so the prev decoder table is rebuilt from the
+        # (perturbed) memory rather than taken from the cache
+        mem_p = mem.at[:, -8:].add(3.0)
+        a = fwd(params, batch, targets, (mem, pad))
+        b_ = fwd(params, batch, targets, (mem_p, pad))
+        return float(
+            jnp.max(jnp.abs(a["pred_boxes"] - b_["pred_boxes"]))
+        ), float(jnp.max(jnp.abs(a["hs_embed"] - b_["hs_embed"])))
+
+    d_boxes_r, d_hs_r = two_frame_delta(2)
+    assert d_boxes_r == 0.0 and d_hs_r == 0.0, (d_boxes_r, d_hs_r)
+    d_boxes_f, d_hs_f = two_frame_delta(0)
+    assert d_hs_f > 0.0, "unrestricted decoder must see the perturbation"
+
+
+def test_dec_klevels_train_and_single_frame():
+    """dec_klevels on the training (non-cached) multi-frame path and on a
+    single-frame model: params shrink (fewer per-level decoder sampling
+    heads), forward + grads finite."""
+    base = dcfg(
+        tracking=True,
+        multi_frame_attention=True,
+        multi_frame_encoding=True,
+        with_box_refine=True,
+    )
+    restr = base.replace(dec_klevels=2)
+    batch, targets = make_batch(jax.random.PRNGKey(0), t=4)
+
+    m0, crit, _ = build_model(base)
+    m1, _, _ = build_model(restr)
+    p0 = jax.jit(m0.init)(jax.random.PRNGKey(1), batch, targets)
+    p1 = jax.jit(m1.init)(jax.random.PRNGKey(1), batch, targets)
+    n0 = sum(x.size for x in jax.tree_util.tree_leaves(p0))
+    n1 = sum(x.size for x in jax.tree_util.tree_leaves(p1))
+    assert n1 < n0  # smaller decoder offset/attention heads
+
+    def loss_fn(p):
+        o = m1.apply(p, batch, targets, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+        return crit.total_loss(crit(o, targets))
+
+    g = jax.jit(jax.grad(loss_fn))(p1)
+    gnorm = sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
+    assert jnp.isfinite(gnorm) and gnorm > 0
+
+    # single-frame model (frames=1): restriction keeps the k finest levels
+    cfg_sf = dcfg(dec_klevels=2, with_box_refine=True)
+    m_sf, _, _ = build_model(cfg_sf)
+    batch_sf, targets_sf = make_batch(jax.random.PRNGKey(3))
+    p_sf = jax.jit(m_sf.init)(jax.random.PRNGKey(4), batch_sf, targets_sf)
+    out = jax.jit(m_sf.apply)(p_sf, batch_sf, targets_sf)
+    assert bool(jnp.isfinite(out["pred_boxes"]).all())
