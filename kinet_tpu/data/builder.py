@@ -10,9 +10,17 @@ from .crowdhuman import build_crowdhuman
 from .mot import MOT, WeightedConcatDataset
 
 
-def _build_coco(split: str, cfg, img_folder_key="coco_path", mode="instances"):
+def _build_coco(
+    split: str, cfg, img_folder_key="coco_path", mode="instances", sel=None,
+):
     root = cfg.coco_path
-    split_name = "train2017" if split == "train" else "val2017"
+    # reference coco.py:315-333: the {split}_split key selects which COCO
+    # half ('train' -> train2017, 'val' -> val2017) regardless of the
+    # engine-level split being built; mot_coco_person routes
+    # coco_person_train_split here instead (mot.py:614-621)
+    if sel is None:
+        sel = cfg.get(f"{split}_split") or split
+    split_name = "train2017" if sel == "train" else "val2017"
     return CocoDetection(
         img_folder=osp.join(root, split_name),
         ann_file=osp.join(
@@ -59,11 +67,14 @@ def build_dataset(split: str, cfg):
     if name == "crowdhuman":
         return build_crowdhuman(split, cfg)
     if name == "mot_crowdhuman":
-        mot = _build_mot(split, cfg)
+        # reference mot.py:595-611: with train_split null, train on
+        # CrowdHuman alone (the MOT half is skipped entirely)
         if split == "train":
             ch = build_crowdhuman("train", cfg)
-            return WeightedConcatDataset([mot, ch])
-        return mot
+            if cfg.get("train_split") is None:
+                return ch
+            return WeightedConcatDataset([_build_mot(split, cfg), ch])
+        return _build_mot(split, cfg)
     if name == "coco_panoptic":
         from .coco_panoptic import CocoPanoptic
 
@@ -78,9 +89,15 @@ def build_dataset(split: str, cfg):
             return_masks=cfg.masks,
         )
     if name == "mot_coco_person":
-        mot = _build_mot(split, cfg)
+        # reference mot.py:614-630: coco_person_train_split picks the COCO
+        # half; with train_split null, train on COCO persons alone
         if split == "train":
-            coco = _build_coco("train", cfg, mode="person_keypoints")
-            return WeightedConcatDataset([mot, coco])
-        return mot
+            coco = _build_coco(
+                "train", cfg, mode="person_keypoints",
+                sel=cfg.get("coco_person_train_split") or "train",
+            )
+            if cfg.get("train_split") is None:
+                return coco
+            return WeightedConcatDataset([_build_mot(split, cfg), coco])
+        return _build_mot(split, cfg)
     raise ValueError(f"unknown dataset {name}")
