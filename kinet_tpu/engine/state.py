@@ -32,12 +32,24 @@ class TrainState:
         return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def param_labels(params) -> Any:
-    """Label each param leaf by its optimizer group, from its path."""
+def param_labels(params, cfg=None) -> Any:
+    """Label each param leaf by its optimizer group, from its path.
+
+    With ``cfg.masks and cfg.freeze_detr`` every leaf outside the mask
+    head (bbox_attention / mask_head) is frozen — the reference freezes
+    the whole detector before attaching the mask head
+    (detr_segmentation.py:30-38)."""
+    freeze_detr = bool(
+        cfg is not None and cfg.get("masks") and cfg.get("freeze_detr")
+    )
 
     def label(path_elems) -> str:
         segs = [str(getattr(p, "key", p)) for p in path_elems]
         path = "/".join(segs)
+        if freeze_detr:
+            if "bbox_attention" in path or "mask_head" in path:
+                return "base"
+            return "frozen"
         # FrozenBatchNorm: weight/bias/running_* are all buffers in the
         # reference (backbone.py:22-58) — never trained
         if any(s in ("bn1", "bn2", "bn3", "downsample_bn") for s in segs):
@@ -75,7 +87,7 @@ def build_optimizer(cfg, params, steps_per_epoch: int = 1000):
             weight_decay=cfg.weight_decay,
         )
 
-    labels = param_labels(params)
+    labels = param_labels(params, cfg)
     tx = optax.multi_transform(
         {
             "base": adamw(cfg.lr),

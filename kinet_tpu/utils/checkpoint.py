@@ -136,19 +136,52 @@ class CheckpointManager:
         return self._ckptr.restore(p.resolve())
 
 
+def splice_mask_head(params: Any, mask_ckpt_params: Any) -> Any:
+    """Overwrite the mask-head subtrees (bbox_attention / mask_head) with a
+    second checkpoint's, where shapes match (reference train.py:245-254)."""
+
+    def walk(mo, ck, in_head=False, prefix=""):
+        if isinstance(mo, dict):
+            out = {}
+            for k, v in mo.items():
+                head = in_head or k in ("bbox_attention", "mask_head")
+                sub = ck.get(k) if isinstance(ck, dict) else None
+                out[k] = walk(v, sub, head, f"{prefix}/{k}")
+            return out
+        if (
+            in_head
+            and ck is not None
+            and np.asarray(ck).shape == np.asarray(mo).shape
+        ):
+            return jnp.asarray(np.asarray(ck))
+        return mo
+
+    return walk(params, mask_ckpt_params)
+
+
 def load_for_resume(cfg, model_params, tx):
     """Resume/transfer (reference train.py:167-282). Returns
     (params, opt_state or None, start_epoch)."""
-    if not cfg.resume:
-        return model_params, None, int(cfg.start_epoch)
-    ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(str(Path(cfg.resume).resolve()))
-    params = adapt_params(
-        restored["params"], model_params, cfg.resume_shift_neuron
-    )
+    params = model_params
     opt_state = None
     start_epoch = int(cfg.start_epoch)
-    if cfg.resume_optim and "opt_state" in restored:
+    restored = None
+    if cfg.resume:
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(str(Path(cfg.resume).resolve()))
+        params = adapt_params(
+            restored["params"], model_params, cfg.resume_shift_neuron
+        )
+    # mask-head splice from a SECOND checkpoint (reference train.py:245-254;
+    # the reference only applies it under --resume, we also honor it when
+    # training the mask head from a scratch-frozen detector)
+    if cfg.get("masks") and cfg.get("load_mask_head_from_model"):
+        ckptr = ocp.PyTreeCheckpointer()
+        mask_ckpt = ckptr.restore(
+            str(Path(cfg.load_mask_head_from_model).resolve())
+        )
+        params = splice_mask_head(params, mask_ckpt["params"])
+    if restored is not None and cfg.resume_optim and "opt_state" in restored:
         opt_state = restored["opt_state"]
         start_epoch = int(restored.get("epoch", 0)) + 1
     return params, opt_state, start_epoch
