@@ -27,6 +27,11 @@ def main():
         "train.yaml",
         named=["train_deformable", "train_tracking", "train_multi_frame"],
     ).replace(dataset="mot", dropout=0.0)
+    # serving-side int8 decoder quad tables (inference-only rebuild, params
+    # unchanged — the same overlay scripts/bench_mota_hard.py BMH_INT8 gates):
+    # on the k=2 trained checkpoint the hard-MOTA session is IDENTICAL
+    # (MOTA 0.99328 / IDF1 0.83445 exact vs int8, PLAN.md round 5)
+    cfg = cfg.replace(dec_msda_int8=True, allow_lossy=True)
     model, _, _ = build_model(cfg)
 
     # MOT17 at 800px short side (val_width 800 ≙ full-res eval setting)

@@ -83,6 +83,11 @@ def trained_hard_model():
         # 100-frame 672x1184 scene, while at hidden-36 toy scale the same
         # flag lands poorly — tiny trajectories do not transfer)
         enc_lite_high_klevels=0,
+        # same reasoning for the decoder-side restriction: the flagship
+        # dec_klevels=2 default is chip-scale gated (bmh_k2.json: MOTA
+        # 0.9933, reid fires), while at hidden-36 toy scale it perturbs
+        # the training trajectory enough to lose the occlusion reid
+        dec_klevels=0,
     )
     model, criterion, _ = build_model(cfg)
     frames = [
