@@ -169,7 +169,7 @@ class DETR(nn.Module):
             tgt = jnp.zeros_like(query_pos)
             tgt_pad = jnp.zeros((b, self.num_queries), bool)
 
-        hs, memory = self.transformer(
+        hs, hs_raw, memory = self.transformer(
             src_flat,
             pos_flat,
             query_pos,
@@ -185,7 +185,9 @@ class DETR(nn.Module):
         out = {
             "pred_logits": logits[-1],
             "pred_boxes": boxes[-1],
-            "hs_embed": hs[-1],
+            # track-query feedback is the PRE-norm decoder output
+            # (reference detr.py:135: hs_without_norm[-1])
+            "hs_embed": hs_raw[-1],
             "query_valid": ~tgt_pad,
             "memory": memory.reshape(b, h, w, d),
             "memory_pad_mask": pad,
@@ -283,7 +285,7 @@ class KineT(nn.Module):
             tgt = jnp.zeros_like(query_pos)
             tgt_pad = jnp.zeros((b, self.num_queries), bool)
 
-        hs, memory = self.transformer(
+        hs, hs_raw, memory = self.transformer(
             src,
             pos,
             query_pos,
@@ -297,7 +299,8 @@ class KineT(nn.Module):
         out = {
             "pred_logits": logits[-1],
             "pred_boxes": boxes[-1],
-            "hs_embed": hs[-1],
+            # pre-norm feedback embedding (reference detr.py:271)
+            "hs_embed": hs_raw[-1],
             "query_valid": ~tgt_pad,
         }
         if self.aux_loss:

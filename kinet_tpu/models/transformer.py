@@ -242,10 +242,17 @@ class TransformerDecoder(nn.Module):
             )
             # shared final norm on every intermediate (DETR applies
             # decoder.norm to each layer's output regardless of pre/post)
-            intermediates.append(final_norm(tgt))
-        if self.return_intermediate:
-            return jnp.stack(intermediates, axis=0)
-        return intermediates[-1][None]
+            intermediates.append(tgt)
+        # returns (normed, raw): the reference decoder returns
+        # (self.norm(output), output) (transformer.py:321) — heads consume
+        # the normed stack, while hs_embed (the track-query feedback) is the
+        # RAW last-layer output (detr.py:135,271 hs_without_norm[-1])
+        raw = (
+            jnp.stack(intermediates, axis=0)
+            if self.return_intermediate
+            else intermediates[-1][None]
+        )
+        return final_norm(raw), raw
 
 
 class TransformerDecoderLayerTrack(nn.Module):
@@ -302,7 +309,7 @@ class Transformer(nn.Module):
         )(src, src_pos, src_key_pad_mask, deterministic)
         if tgt is None:
             tgt = jnp.zeros_like(query_pos)
-        hs = TransformerDecoder(
+        hs, hs_raw = TransformerDecoder(
             self.num_decoder_layers, self.d_model, self.nheads,
             self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
             True, self.track_attention, self.num_track_slots,
@@ -311,7 +318,7 @@ class Transformer(nn.Module):
             tgt, memory, query_pos, src_pos, src_key_pad_mask,
             tgt_key_pad_mask, deterministic,
         )
-        return hs, memory
+        return hs, hs_raw, memory
 
 
 class IntertwinedBranch(nn.Module):
@@ -369,13 +376,13 @@ class KinematicTransformer(nn.Module):
             self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
             name="encoder",
         )(src, pos, src_key_pad_mask, deterministic)
-        hs = TransformerDecoder(
+        hs, hs_raw = TransformerDecoder(
             self.num_decoder_layers, self.d_model, self.nheads,
             self.dim_feedforward, self.dropout, self.activation, self.pre_norm,
             name="decoder",
         )(tgt, memory, query_pos, pos, src_key_pad_mask,
           tgt_key_pad_mask, deterministic)
-        return hs, memory
+        return hs, hs_raw, memory
 
 
 class DualKinematicTransformer(nn.Module):
@@ -408,13 +415,13 @@ class DualKinematicTransformer(nn.Module):
         tgt_key_pad_mask=None,
         deterministic=True,
     ):
-        hs_det, mem_det = KinematicTransformer(
+        hs_det, _, mem_det = KinematicTransformer(
             self.d_model, self.nheads, self.num_encoder_layers,
             self.num_decoder_layers, self.dim_feedforward, self.dropout,
             self.activation, self.pre_norm, name="transformer_det",
         )(src_det, pos, query_pos_det, tgt_det, src_key_pad_mask,
           tgt_key_pad_mask, deterministic)
-        hs_meta, mem_meta = KinematicTransformer(
+        hs_meta, _, mem_meta = KinematicTransformer(
             self.d_model, self.nheads, self.num_encoder_layers,
             self.num_decoder_layers, self.dim_feedforward, self.dropout,
             self.activation, self.pre_norm, name="transformer_metadata",

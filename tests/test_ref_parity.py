@@ -164,12 +164,12 @@ def test_vanilla_transformer_stack_parity():
     assert not report["unmapped"], report["unmapped"]
     params = {"params": tree["params"]["transformer"]}
 
-    hs_ours, mem_ours = ours.apply(
+    hs_ours, hs_raw_ours, mem_ours = ours.apply(
         params, jnp.asarray(src_flat), jnp.asarray(pos_flat), jnp.asarray(qe),
         src_key_pad_mask=jnp.asarray(mask.reshape(b, -1)),
     )
     with torch.no_grad():
-        hs_ref, _, mem_ref = ref(
+        hs_ref, hs_raw_ref, mem_ref = ref(
             torch.from_numpy(src), torch.from_numpy(mask),
             torch.from_numpy(query_embed)[:, None].repeat(1, b, 1),
             torch.from_numpy(pos),
@@ -181,6 +181,11 @@ def test_vanilla_transformer_stack_parity():
     )
     np.testing.assert_allclose(
         np.asarray(hs_ours), t2n(hs_ref), rtol=1e-4, atol=1e-4
+    )
+    # the pre-norm stack (hs_without_norm — the hs_embed feedback source,
+    # reference detr.py:135) must match too
+    np.testing.assert_allclose(
+        np.asarray(hs_raw_ours), t2n(hs_raw_ref), rtol=1e-4, atol=1e-4
     )
 
 
