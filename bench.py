@@ -137,8 +137,9 @@ def main():
     # per-frame-dispatch mode (what the live Tracker pays: one jit call +
     # one scalar sync per frame) — the delta vs the scan is the host gap.
     # NOTE: in this environment the chip is behind a remote tunnel, so
-    # host_ms is dominated by the tunnel round-trip (~20 ms), not real
-    # host work; co-located serving pays 1-3 ms. The recurrent tracker
+    # host_ms is dominated by the tunnel round-trip — MEASURED: a trivial
+    # jit + scalar fetch costs 27 ms, equal to the full host gap
+    # (scripts/probe_host_gap.py, PLAN.md round 5). The recurrent tracker
     # state (frame n+1's track queries depend on frame n's outputs) makes
     # this RTT unhideable for a single stream — batch_sequences>1
     # amortizes it (one dispatch per B frames, tracking/batched.py).

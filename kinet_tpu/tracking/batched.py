@@ -189,13 +189,17 @@ class BatchedTracker:
             self.params, batch, targets, orig_size,
             self._prev_features[0], self._prev_memory[0], self._pos_cache,
         )
+        # one batched transfer for all sequences' rows (one RTT, not
+        # keys x sequences; see scripts/probe_host_gap.py)
+        fetch = {k: res[k] for k in Tracker._ROW_KEYS}
+        for k in Tracker._ROW_KEYS_OPT:
+            if k in res:
+                fetch[k] = res[k]
+        fetched = jax.device_get(fetch)
         for i, (tr, blob) in enumerate(zip(self.trackers, blobs)):
             if blob is None:
                 continue
-            out = {k: np.asarray(res[k][i]) for k in Tracker._ROW_KEYS}
-            for k in Tracker._ROW_KEYS_OPT:
-                if k in res:
-                    out[k] = np.asarray(res[k][i])
+            out = {k: np.asarray(v[i]) for k, v in fetched.items()}
             tr._consume(out, blob)
         if res["frame_features"] is not None:
             self._prev_features.append(res["frame_features"])
@@ -272,11 +276,12 @@ class BatchedTrackerKinematic:
         }
         kb, targets, orig_size = self._cls.make_device_inputs(stacked)
         res = self._fwd(self.params, kb, targets, orig_size)
+        fetched = jax.device_get({k: res[k] for k in self._cls._ROW_KEYS})
         for i, (tr, blob) in enumerate(zip(self.trackers, blobs)):
             if blob is None:
                 continue
             tr._consume(
-                {k: np.asarray(res[k][i]) for k in self._cls._ROW_KEYS}, blob
+                {k: np.asarray(v[i]) for k, v in fetched.items()}, blob
             )
 
     def get_results(self, i: int):

@@ -213,9 +213,9 @@ class TrackerKinematic(Tracker):
         inputs = self._build_inputs(blob)
         kb, targets, orig_size = self.make_device_inputs(inputs)
         res = self._fwd_kine(self.params, kb, targets, orig_size)
-        self._consume(
-            {k: np.asarray(res[k][0]) for k in self._ROW_KEYS}, blob
-        )
+        # one batched transfer (one RTT, not one per key — probe_host_gap)
+        fetched = jax.device_get({k: res[k] for k in self._ROW_KEYS})
+        self._consume({k: np.asarray(v[0]) for k, v in fetched.items()}, blob)
 
     def _num_spawn_rows(self) -> int:
         return (

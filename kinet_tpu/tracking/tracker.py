@@ -447,10 +447,16 @@ class Tracker:
             self.params, batch, targets, orig_size,
             self._prev_features[0], self._prev_memory[0], self._pos_cache,
         )
-        out = {k: np.asarray(res[k][0]) for k in self._ROW_KEYS}
+        # ONE batched transfer for everything the state machine reads:
+        # per-key np.asarray costs one device round-trip EACH (measured
+        # 170 -> 90 ms/frame through the remote tunnel, ~4 fewer RTTs;
+        # scripts/probe_host_gap.py, PLAN.md round 5)
+        fetch = {k: res[k] for k in self._ROW_KEYS}
         for k in self._ROW_KEYS_OPT:
             if k in res:
-                out[k] = np.asarray(res[k][0])
+                fetch[k] = res[k]
+        fetched = jax.device_get(fetch)
+        out = {k: np.asarray(v[0]) for k, v in fetched.items()}
         self._consume(out, blob)
 
         if res["frame_features"] is not None:
