@@ -10,8 +10,11 @@ ICI at each conv), the sharding propagates through flatten into the
 token/sequence dim of the encoder (so the per-token MSDA gather chains —
 the flagship's latency bound, see PLAN "MFU / roofline accounting" —
 split N-ways too), and XLA all-gathers exactly where an op needs a full
-tensor (the MSDA value tables, ~13 MB/frame at 800px: one ICI
-all-gather per encoder stage).
+tensor. Measured from the compiled HLO (scripts/probe_sp_collectives.py,
+docs/PARALLELISM.md): 1 all-gather + 1 all-reduce + 2 conv-halo
+collective-permutes, ~1.4 MB/frame at 256x384 (<= ~17 MB/frame scaled
+to 800px) — communication is not the limiter; the replicated
+decoder/head remainder is (Amdahl).
 
 This is the `sp` point in the dp/tp/sp design space:
 - dp (mesh.py): THROUGHPUT — many streams, one per data shard.
