@@ -286,3 +286,57 @@ def test_area_range_gating(tmp_path):
     assert abs(stats[3] - 1.0) < 1e-9, stats[3]  # APs
     assert stats[4] == -1.0, stats[4]  # APm: no medium GT
     assert abs(stats[5] - 1.0) < 1e-9, stats[5]  # APl
+
+
+def test_golden_map_sweep_mid_iou_with_crowd(tmp_path):
+    """GOLDEN multi-threshold sweep (VERDICT r4 #7): expected mAP@[.5:.95]
+    hand-derived from the pycocotools algorithm (greedy per-score matching,
+    crowd-ignore, right-max precision envelope, 101-point interpolation,
+    mean over the 10 IoU thresholds).
+
+    GT: g1=[0,0,10,10], g2=[20,20,10,10], crowd c=[40,40,10,10].
+    Dets (category 0->1): d1=g1 exactly (0.9) -> TP at every t;
+    d2=[22,20,10,10] (0.8) vs g2: inter 8x10=80, union 120 -> IoU 2/3,
+    TP for t in {.5,.55,.6,.65}, FP for t >= .7; d3=c exactly (0.7) ->
+    crowd-ignored (pycocotools crowd IoU = inter/det-area = 1.0) at every
+    t; d4=[60,60,10,10] (0.6) -> FP at every t.
+
+    Per-threshold AP over 2 real GT:
+      t <= .65: sweep TP,TP,FP -> rec [.5, 1, 1], prec [1, 1, 2/3];
+                envelope 1.0 everywhere -> AP = 1.
+      t >= .7:  sweep TP,FP,FP -> rec caps at .5; envelope 1.0 up to
+                rec .5, 0 beyond -> AP = 51/101.
+    mAP = (4*1 + 6*51/101)/10 = (4 + 306/101)/10."""
+    gt = _index(
+        tmp_path,
+        [_img(1)],
+        [
+            _ann(1, 1, [0, 0, 10, 10]),
+            _ann(2, 1, [20, 20, 10, 10]),
+            _ann(3, 1, [40, 40, 10, 10], crowd=1),
+        ],
+    )
+    ev = CocoEvaluator(gt)
+    ev.update(
+        {
+            1: {
+                "boxes": np.array(
+                    [
+                        [0, 0, 10, 10],     # d1: exact g1
+                        [22, 20, 32, 30],   # d2: IoU 2/3 vs g2
+                        [40, 40, 50, 50],   # d3: exact crowd
+                        [60, 60, 70, 70],   # d4: pure FP
+                    ],
+                    float,
+                ),
+                "scores": np.array([0.9, 0.8, 0.7, 0.6]),
+                "labels": np.array([0, 0, 0, 0]),
+            }
+        }
+    )
+    ev.accumulate()
+    stats = ev.summarize()
+    expect_map = (4 * 1.0 + 6 * (51.0 / 101.0)) / 10.0
+    assert abs(stats[0] - expect_map) < 1e-9, stats[0]   # mAP@[.5:.95]
+    assert abs(stats[1] - 1.0) < 1e-9, stats[1]          # AP50
+    assert abs(stats[2] - 51.0 / 101.0) < 1e-9, stats[2]  # AP75

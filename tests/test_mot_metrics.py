@@ -253,3 +253,49 @@ def test_hota_in_summary():
         _sim_update(acc, [1], ["a"], g, g)
     summary = evaluate_mot_accums([acc], ["s"], generate_overall=False)
     assert summary["s"]["hota"] == 1.0
+
+
+def test_golden_clear_id_hota_combined_scenario():
+    """GOLDEN combined scenario (VERDICT r4 #7): every metric asserted to
+    its exact hand-derived value from the published algorithm definitions
+    (CLEAR: Bernardin&Stiefelhagen 2008; ID measures: Ristani 2016;
+    HOTA: Luiten 2020).
+
+    6 frames; GT A at (0,0), B at (50,50), both present every frame,
+    exact-position matches (IoU 1 / dist 0) when matched:
+      h1: frames 0-2 at A, frames 3-5 at B (jumps identities)
+      h2: frames 0-2 at B, then gone
+      h3: frame 1 only, far away (pure FP)
+      A is unmatched frames 3-5 (3 misses)
+
+    CLEAR: GT dets 12; FN=3 (A f3-5), FP=1 (h3), IDSW=1 (B: h2->h1 at f3)
+      MOTA = 1 - (3+1+1)/12 = 7/12;  MOTP = 0 (all matches exact)
+    ID measures (global bipartite on overlap counts): IDTP = |A-h1| +
+      |B-h2| = 3+3 = 6; hyp dets = 6+3+1 = 10 -> IDFP = 4; IDFN = 12-6= 6
+      IDF1 = 2*6 / (2*6 + 4 + 6) = 12/22 = 6/11
+    HOTA (exact overlaps -> same at every alpha): TP=9, FN=3, FP=1
+      A(c) per TP: (A,h1) pair: TPA 3, FNA 3, FPA 3 -> 1/3 (x3 TPs)
+                   (B,h2) pair: TPA 3, FNA 3, FPA 0 -> 1/2 (x3)
+                   (B,h1) pair: TPA 3, FNA 3, FPA 3 -> 1/3 (x3)
+      HOTA_a = sqrt(sum A(c) / (TP+FN+FP)) = sqrt(3.5/13)"""
+    acc = MOTAccumulator()
+    A, B = box(0, 0), box(50, 50)
+    far = box(200, 200)
+    for f in range(6):
+        gt_ids = [1, 2]
+        gt = np.stack([A, B])
+        if f <= 2:
+            hyp_ids = ["h1", "h2"] + (["h3"] if f == 1 else [])
+            hyp = [A, B] + ([far] if f == 1 else [])
+        else:
+            hyp_ids = ["h1"]
+            hyp = [B]
+        acc.update(gt_ids, hyp_ids, iou_distance(gt, np.stack(hyp)))
+    m = acc.metrics()
+    assert m["num_misses"] == 3, m
+    assert m["num_false_positives"] == 1, m
+    assert m["num_switches"] == 1, m
+    assert abs(m["mota"] - 7.0 / 12.0) < 1e-12, m["mota"]
+    assert abs(m["motp"] - 0.0) < 1e-12, m["motp"]
+    assert abs(m["idf1"] - 6.0 / 11.0) < 1e-12, m["idf1"]
+    assert abs(m["hota"] - (3.5 / 13.0) ** 0.5) < 1e-12, m["hota"]
