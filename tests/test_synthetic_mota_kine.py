@@ -305,15 +305,18 @@ def test_kine_dual_stream_overfit_then_track_scores_mota(
     constant-velocity gate as the encoder-only variant."""
     root = kine_scene
     l = 3
-    # num_queries=12 (not the production 150): Hungarian-matched decoder
-    # queries trained from scratch converge slowly; at this training
-    # budget 150 queries never localize (measured MOTA -0.175) while 12
-    # reach 0.887. The gate measures the PATH, not capacity.
+    # num_queries=50 (raised from the r4 gate's 12; reference production is
+    # 150): Hungarian-matched scratch queries need a positive-supervision
+    # budget ~linear in Q (tests/test_kine_query_scale.py measures the
+    # mechanism: each query is matched a ~K/Q fraction of steps). Probes
+    # (PLAN.md round 5): q50@1200 iters lands MOTA 0.887/IDF1 0.946 —
+    # in-band at the gate budget; q50@4800 is PERFECT (1.0/1.0); the r4
+    # "150 never converge" was the same starvation, not a path defect.
     cfg = load_config("train.yaml", named=["train_kinet"]).replace(
         dataset="mot_kine",
         mot_path_train=osp.join(root, "coco"),
         mot_path_val=osp.join(root, "coco"),
-        hidden_dim=64, nheads=2, dim_feedforward=128, num_queries=12,
+        hidden_dim=64, nheads=2, dim_feedforward=128, num_queries=50,
         max_objects=6, max_number_detection=8, max_track_queries=8,
         track_prev_frame_range=l, tracking=True,
         dropout=0.0, batch_size=4, num_workers=1,
@@ -322,11 +325,12 @@ def test_kine_dual_stream_overfit_then_track_scores_mota(
         ratio_add_detections=0.5,
     )
     m = _run_kine_gate(
-        kine_scene, tmp_path, cfg, cache_tag="synthetic_mota_dual_q12",
+        kine_scene, tmp_path, cfg, cache_tag="synthetic_mota_dual_q50_i1200",
     )
     print("KINE DUAL GATE:", {k: round(float(v), 3) for k, v in m.items()})
-    # measured landing: MOTA 0.887 / IDF1 0.947 / HOTA 0.834 / 0 switches
-    # (9 duplicate-query FPs over 40 frames). Building this gate caught a
+    # measured landing at q50: MOTA 0.887 / IDF1 0.946 / HOTA 0.834 /
+    # 0 switches (8 duplicate-query FPs, 1 miss over 80 GT dets; q12
+    # landed the same band in r4). Building this gate caught a
     # live tracker defect: spawn rows were sliced as per-detection rows
     # (encoder layout) so most of the dual model's object-query rows were
     # never spawn candidates — one object could never spawn (MOTA 0.5,
