@@ -188,6 +188,13 @@ class DETR(nn.Module):
             # track-query feedback is the PRE-norm decoder output
             # (reference detr.py:135: hs_without_norm[-1])
             "hs_embed": hs_raw[-1],
+            # NORMED last hs — what the mask head's attention consumes
+            # (reference detr_segmentation.py:62 uses hs[-1])
+            "hs_last": hs[-1],
+            # projected top backbone feature — the mask head's src input
+            # (reference detr_segmentation.py:55-60: input_proj(features[-1]),
+            # NOT the encoder memory)
+            "src_proj": src,
             "query_valid": ~tgt_pad,
             "memory": memory.reshape(b, h, w, d),
             "memory_pad_mask": pad,

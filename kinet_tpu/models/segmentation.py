@@ -146,12 +146,20 @@ class SegmWrapper(nn.Module):
             pad = out.get("memory_pad_mask")
             pad = pad.reshape(pad.shape[0], -1) if pad is not None else None
 
+        # reference detr_segmentation.py:62: attention over the encoder
+        # memory queried by the NORMED last-layer hs (hs[-1], not the
+        # pre-norm hs_embed feedback)
+        hs_q = out.get("hs_last", out["hs_embed"])
         bbox_mask = MHAttentionMap(
             self.hidden_dim, self.nheads, name="bbox_attention"
-        )(out["hs_embed"], memory, pad)
+        )(hs_q, memory, pad)
+        # reference detr_segmentation.py:55-60: the mask head's src is the
+        # PROJECTED top backbone feature (input_proj(features[-1])), not
+        # the encoder memory
+        src = out.get("src_proj", memory)
         seg = MaskHeadSmallConv(
             self.hidden_dim + self.nheads, self.hidden_dim, name="mask_head"
-        )(memory, bbox_mask, fpns)
+        )(src, bbox_mask, fpns)
         out["pred_masks"] = seg
         return out
 

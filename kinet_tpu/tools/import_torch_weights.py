@@ -441,6 +441,21 @@ def import_state_dict(
             ] = take(k)
             continue
 
+    if isinstance(tree.get("detector"), dict):
+        # segmentation wrapper (models/segmentation.py): the DETR core
+        # nests under 'detector' while bbox_attention/mask_head stay
+        # top-level — mirror the reference's DETRSegm* mixins whose
+        # state_dict stays flat (detr_segmentation.py:75-98)
+        def _route(path):
+            if path[0] in ("bbox_attention", "mask_head"):
+                return path
+            return ("detector",) + tuple(path)
+
+        writes = {_route(p): v for p, v in writes.items()}
+        alt_groups = {
+            k: [_route(p) for p in paths] for k, paths in alt_groups.items()
+        }
+
     applied = 0
     alt_paths = {p for paths in alt_groups.values() for p in paths}
     alt_applied: dict = {}

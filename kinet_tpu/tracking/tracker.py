@@ -146,12 +146,13 @@ def make_forward_fn(model, params, postprocess, attention_maps=False,
         }
         if "pred_masks" in out:
             # per-query mask probabilities at input resolution
-            # (≙ PostProcessSegm, reference detr_segmentation.py:219-253)
-            m = jax.nn.sigmoid(out["pred_masks"])
+            # (≙ PostProcessSegm, reference detr_segmentation.py:219-253:
+            # interpolate the LOGITS bilinearly, THEN sigmoid — the order
+            # matters; sigmoid-then-interpolate is not equivalent)
+            m = out["pred_masks"]
             h, w = batch.images.shape[1], batch.images.shape[2]
-            ret["mask_probs"] = jax.image.resize(
-                m, (*m.shape[:2], h, w), method="bilinear"
-            )
+            m = jax.image.resize(m, (*m.shape[:2], h, w), method="bilinear")
+            ret["mask_probs"] = jax.nn.sigmoid(m)
         if attention_maps:
             attn = _find_sowed(dict(state["intermediates"]))
             if attn is not None:
