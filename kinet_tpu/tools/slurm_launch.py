@@ -80,9 +80,35 @@ def build_script(args, launch_args: list[str]) -> str:
     )
 
 
+def _submit_config_defaults(path: str) -> dict:
+    """Load scheduler defaults from a submit config (≙ reference
+    cfgs/submit.yaml read by run_with_submitit.py:88-96). Keys mirror the
+    argparse flags; unknown keys are rejected so typos don't silently
+    no-op."""
+    import yaml
+
+    with open(path) as fh:
+        raw = yaml.safe_load(fh) or {}
+    known = {
+        "partition", "nodes", "time", "mem", "cpus_per_task", "job_name",
+        "job_dir", "constraint", "comment", "exclude", "account",
+        "coordinator_port", "signal_delay",
+    }
+    unknown = set(raw) - known
+    if unknown:
+        raise SystemExit(
+            f"unknown submit-config keys in {path}: {sorted(unknown)}"
+        )
+    return raw
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    # scheduler parameters (≙ reference run_with_submitit.py:88-113)
+    # scheduler parameters (≙ reference run_with_submitit.py:88-113);
+    # defaults can come from a submit config file (≙ cfgs/submit.yaml)
+    p.add_argument("--submit-config", default="",
+                   help="YAML with scheduler defaults (cfgs/submit.yaml); "
+                        "explicit CLI flags override it")
     p.add_argument("--partition", default="tpu")
     p.add_argument("--nodes", type=int, default=1, help="TPU hosts")
     p.add_argument("--time", type=int, default=60 * 72,
@@ -105,6 +131,9 @@ def main(argv=None):
     p.add_argument("--config", default="train.yaml")
     p.add_argument("--named", nargs="*", default=[])
     p.add_argument("overrides", nargs="*", default=[])
+    pre, _ = p.parse_known_args(argv)
+    if pre.submit_config:
+        p.set_defaults(**_submit_config_defaults(pre.submit_config))
     args = p.parse_args(argv)
 
     launch_args = ["--config", args.config]

@@ -57,6 +57,38 @@ def test_sbatch_script_is_valid_bash():
     assert proc.returncode == 0, proc.stderr
 
 
+def test_submit_config_defaults(tmp_path):
+    # cfgs/submit.yaml supplies scheduler defaults (≙ reference
+    # run_with_submitit.py:88-96); explicit CLI flags still win
+    s = _script("--submit-config", "cfgs/submit.yaml")
+    assert "#SBATCH --partition=v5e" in s  # CLI flag overrides the yaml
+    assert "--signal=USR1@60" in s  # yaml default flows through
+
+    cfg = tmp_path / "submit.yaml"
+    cfg.write_text("partition: pool9\nsignal_delay: 120\nnodes: 8\n")
+    from kinet_tpu.tools import slurm_launch
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = slurm_launch.main(
+            ["--dry-run", "--submit-config", str(cfg), "--nodes", "2"]
+        )
+    assert rc == 0
+    s = buf.getvalue()
+    assert "#SBATCH --partition=pool9" in s  # yaml default used
+    assert "--signal=USR1@120" in s
+    assert "#SBATCH --nodes=2" in s  # CLI beats yaml
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("num_gpus: 4\n")  # GPU-era key: must be rejected
+    import pytest
+
+    with pytest.raises(SystemExit):
+        slurm_launch.main(["--dry-run", "--submit-config", str(bad)])
+
+
 def test_cli_entry_dry_run():
     proc = subprocess.run(
         [
