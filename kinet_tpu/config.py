@@ -19,7 +19,24 @@ from typing import Any, Mapping
 
 import yaml
 
-CFG_DIR = Path(__file__).resolve().parent.parent / "cfgs"
+def _find_cfg_dir() -> Path:
+    """Locate the cfgs/ directory.
+
+    Priority: $KINET_CFG_DIR > repo layout (../cfgs next to the package,
+    the checkout case) > cfgs/ shipped inside the installed package >
+    ./cfgs relative to the cwd (pip-installed package + user checkout).
+    """
+    env = os.environ.get("KINET_CFG_DIR")
+    if env:
+        return Path(env)
+    here = Path(__file__).resolve().parent
+    for cand in (here.parent / "cfgs", here / "cfgs"):
+        if cand.is_dir():
+            return cand
+    return Path("cfgs")
+
+
+CFG_DIR = _find_cfg_dir()
 
 
 class Config:
