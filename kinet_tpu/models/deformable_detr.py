@@ -99,7 +99,7 @@ class DeformableDETR(nn.Module):
             projs.append(
                 (
                     nn.Conv(self.hidden_dim, (1, 1), name=f"input_proj{i}"),
-                    nn.GroupNorm(num_groups=gn_groups, name=f"input_proj_gn{i}"),
+                    nn.GroupNorm(num_groups=gn_groups, epsilon=1e-5, name=f"input_proj_gn{i}"),
                 )
             )
         for i in range(n_backbone_levels, self.num_feature_levels):
@@ -109,7 +109,7 @@ class DeformableDETR(nn.Module):
                         self.hidden_dim, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)], name=f"input_proj{i}",
                     ),
-                    nn.GroupNorm(num_groups=gn_groups, name=f"input_proj_gn{i}"),
+                    nn.GroupNorm(num_groups=gn_groups, epsilon=1e-5, name=f"input_proj_gn{i}"),
                 )
             )
         self.input_projs = projs

@@ -291,12 +291,12 @@ class DeformableEncoderLayer(nn.Module):
             spatial_shapes, padding_mask,
             deterministic=deterministic,
         )
-        src = nn.LayerNorm()(
+        src = nn.LayerNorm(epsilon=1e-5)(
             src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
         )
         h = _ffn(src, self.d_ffn, self.d_model, self.dropout, self.activation,
                  deterministic)
-        return nn.LayerNorm()(
+        return nn.LayerNorm(epsilon=1e-5)(
             src + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         )
 
@@ -455,7 +455,7 @@ class DeformableDecoderLayer(nn.Module):
             dropout_rate=self.dropout,
             name="self_attn",
         )(q, k, tgt, mask=attn_mask, deterministic=deterministic)
-        tgt = nn.LayerNorm()(
+        tgt = nn.LayerNorm(epsilon=1e-5)(
             tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
         )
         tgt2 = MSDeformAttn(
@@ -469,12 +469,12 @@ class DeformableDecoderLayer(nn.Module):
             query_mask=query_pad_mask, src_quad=src_quad,
             src_quad_scales=src_quad_scales,
         )
-        tgt = nn.LayerNorm()(
+        tgt = nn.LayerNorm(epsilon=1e-5)(
             tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
         )
         h = _ffn(tgt, self.d_ffn, self.d_model, self.dropout, self.activation,
                  deterministic)
-        return nn.LayerNorm()(
+        return nn.LayerNorm(epsilon=1e-5)(
             tgt + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         )
 
@@ -639,9 +639,9 @@ class DeformableTransformer(nn.Module):
         )
         if self.two_stage:
             self.enc_output = nn.Dense(self.d_model)
-            self.enc_output_norm = nn.LayerNorm()
+            self.enc_output_norm = nn.LayerNorm(epsilon=1e-5)
             self.pos_trans = nn.Dense(self.d_model * 2)
-            self.pos_trans_norm = nn.LayerNorm()
+            self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5)
         else:
             self.reference_points_head = nn.Dense(2)
 

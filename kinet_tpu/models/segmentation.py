@@ -54,7 +54,7 @@ def _gn(x, name):
     import math
 
     groups = math.gcd(8, x.shape[-1])
-    return nn.GroupNorm(num_groups=groups, name=name)(x)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)(x)
 
 
 class MaskHeadSmallConv(nn.Module):

@@ -81,18 +81,18 @@ class TransformerEncoderLayer(nn.Module):
             )
 
         if self.pre_norm:
-            h = nn.LayerNorm()(src)
+            h = nn.LayerNorm(epsilon=1e-5)(src)
             src = src + nn.Dropout(self.dropout, deterministic=deterministic)(sa(h))
-            h = nn.LayerNorm()(src)
+            h = nn.LayerNorm(epsilon=1e-5)(src)
             src = src + nn.Dropout(self.dropout, deterministic=deterministic)(
                 _ffn(h, self.dim_feedforward, self.d_model, self.dropout,
                      self.activation, deterministic)
             )
         else:
-            src = nn.LayerNorm()(
+            src = nn.LayerNorm(epsilon=1e-5)(
                 src + nn.Dropout(self.dropout, deterministic=deterministic)(sa(src))
             )
-            src = nn.LayerNorm()(
+            src = nn.LayerNorm(epsilon=1e-5)(
                 src
                 + nn.Dropout(self.dropout, deterministic=deterministic)(
                     _ffn(src, self.dim_feedforward, self.d_model, self.dropout,
@@ -143,16 +143,16 @@ class TransformerDecoderLayer(nn.Module):
 
         drop = lambda y: nn.Dropout(self.dropout, deterministic=deterministic)(y)
         if self.pre_norm:
-            tgt = tgt + drop(self_attn(nn.LayerNorm()(tgt)))
-            tgt = tgt + drop(cross_attn(nn.LayerNorm()(tgt)))
+            tgt = tgt + drop(self_attn(nn.LayerNorm(epsilon=1e-5)(tgt)))
+            tgt = tgt + drop(cross_attn(nn.LayerNorm(epsilon=1e-5)(tgt)))
             tgt = tgt + drop(
-                _ffn(nn.LayerNorm()(tgt), self.dim_feedforward, self.d_model,
+                _ffn(nn.LayerNorm(epsilon=1e-5)(tgt), self.dim_feedforward, self.d_model,
                      self.dropout, self.activation, deterministic)
             )
         else:
-            tgt = nn.LayerNorm()(tgt + drop(self_attn(tgt)))
-            tgt = nn.LayerNorm()(tgt + drop(cross_attn(tgt)))
-            tgt = nn.LayerNorm()(
+            tgt = nn.LayerNorm(epsilon=1e-5)(tgt + drop(self_attn(tgt)))
+            tgt = nn.LayerNorm(epsilon=1e-5)(tgt + drop(cross_attn(tgt)))
+            tgt = nn.LayerNorm(epsilon=1e-5)(
                 tgt
                 + drop(
                     _ffn(tgt, self.dim_feedforward, self.d_model, self.dropout,
@@ -179,7 +179,7 @@ class TransformerEncoder(nn.Module):
                 self.activation, self.pre_norm, name=f"layer{i}",
             )(src, pos, key_pad_mask, deterministic)
         if self.pre_norm:
-            src = nn.LayerNorm()(src)
+            src = nn.LayerNorm(epsilon=1e-5)(src)
         return src
 
 
@@ -216,7 +216,7 @@ class TransformerDecoder(nn.Module):
         deterministic=True,
     ):
         intermediates = []
-        final_norm = nn.LayerNorm(name="norm")
+        final_norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         for i in range(self.num_layers):
             if self.track_attention and self.num_track_slots > 0:
                 t = self.num_track_slots
@@ -269,7 +269,7 @@ class TransformerDecoderLayerTrack(nn.Module):
         h = _SelfAttnBlock(self.nheads, self.d_model, self.dropout)(
             q, k, tgt, bias, deterministic
         )
-        return nn.LayerNorm()(
+        return nn.LayerNorm(epsilon=1e-5)(
             tgt + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         )
 
@@ -342,7 +342,7 @@ class IntertwinedBranch(nn.Module):
         ]
         x = act(jnp.concatenate([x1, x2], axis=-1))
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.LayerNorm(name="norm")(x + src1)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + src1)
 
 
 class KinematicTransformer(nn.Module):

@@ -324,7 +324,11 @@ class TrackerKinematic(Tracker):
                         tr_boxes[row], tr_rel[row], tr_scores[row],
                         np.array([tr_scores[row], tr_labels[row]])[: self.meta_dim],
                     )
-                    tr.count_inactive = 0
+                    # count_inactive deliberately NOT reset: reference
+                    # track-row revival keeps the stale count in BOTH its
+                    # trackers (tracker.py:726-729 kinematic, :367-386
+                    # image; only embed-distance reid resets it, :240) —
+                    # matches our image tracker's behavior
                     from_inactive.append(tr)
             self.num_reids += len(from_inactive)
             for tr in from_inactive:

@@ -309,9 +309,13 @@ def test_kine_dual_stream_overfit_then_track_scores_mota(
     # 150): Hungarian-matched scratch queries need a positive-supervision
     # budget ~linear in Q (tests/test_kine_query_scale.py measures the
     # mechanism: each query is matched a ~K/Q fraction of steps). Probes
-    # (PLAN.md round 5): q50@1200 iters lands MOTA 0.887/IDF1 0.946 —
-    # in-band at the gate budget; q50@4800 is PERFECT (1.0/1.0); the r4
-    # "150 never converge" was the same starvation, not a path defect.
+    # (PLAN.md round 5): q50@1200 iters landed MOTA 0.887/IDF1 0.946; the
+    # r4 "150 never converge" was the same starvation, not a path defect.
+    # The torch-parity LayerNorm epsilon fix (1e-6 -> 1e-5, PARITY.md
+    # round 5) shifted this knife-edge trajectory — at the corrected eps
+    # q50@1200 drops one object entirely (MOTA 0.213) while q50@3600 and
+    # q50@4800 are PERFECT (1.0/1.0/0 switches). Gate budget is therefore
+    # 3600 iters: well past the starvation edge, wide margins both sides.
     cfg = load_config("train.yaml", named=["train_kinet"]).replace(
         dataset="mot_kine",
         mot_path_train=osp.join(root, "coco"),
@@ -325,12 +329,12 @@ def test_kine_dual_stream_overfit_then_track_scores_mota(
         ratio_add_detections=0.5,
     )
     m = _run_kine_gate(
-        kine_scene, tmp_path, cfg, cache_tag="synthetic_mota_dual_q50_i1200",
+        kine_scene, tmp_path, cfg,
+        cache_tag="synthetic_mota_dual_q50_i3600", iters=3600,
     )
     print("KINE DUAL GATE:", {k: round(float(v), 3) for k, v in m.items()})
-    # measured landing at q50: MOTA 0.887 / IDF1 0.946 / HOTA 0.834 /
-    # 0 switches (8 duplicate-query FPs, 1 miss over 80 GT dets; q12
-    # landed the same band in r4). Building this gate caught a
+    # measured landing at q50@3600 (eps=1e-5): MOTA 1.0 / IDF1 1.0 /
+    # HOTA 0.883 / 0 switches. Building this gate caught a
     # live tracker defect: spawn rows were sliced as per-detection rows
     # (encoder layout) so most of the dual model's object-query rows were
     # never spawn candidates — one object could never spawn (MOTA 0.5,
