@@ -22,16 +22,38 @@ import platform
 _BASE = "/tmp/kinet_jax_cache"
 
 
-def _cpu_fingerprint() -> str:
+# Per-CPU-index / frequency lines that differ across otherwise-identical
+# hosts (or across boots) without affecting generated code:
+_VOLATILE_KEYS = frozenset(
+    {"processor", "cpu MHz", "bogomips", "apicid", "initial apicid",
+     "core id", "physical id", "BogoMIPS"}
+)
+
+
+def _cpu_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str:
+    # Hash the ENTIRE first /proc/cpuinfo block (minus volatile keys), not a
+    # hand-picked subset. Observed failure of the old subset (model name /
+    # stepping / microcode / flags): cloud VMs normalize all four (generic
+    # "Intel(R) Xeon(R) Processor" model name, microcode 0x1) while the
+    # numeric `cpu family` / `model` lines — which are what LLVM keys its
+    # subtarget tuning off (e.g. +prefer-no-gather on Sapphire vs Emerald
+    # Rapids) — differ. Two such hosts collided to one cache dir and the
+    # second host loaded AOT code with unsupported tuning features.
     bits = [platform.machine()]
     try:
-        with open("/proc/cpuinfo") as f:
+        with open(cpuinfo_path) as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    bits.append(" ".join(sorted(line.split(":", 1)[1].split())))
-                    break
-                if line.startswith(("model name", "microcode", "stepping")):
-                    bits.append(line.split(":", 1)[1].strip())
+                line = line.strip()
+                if not line:
+                    break  # end of the first processor block
+                key, _, val = line.partition(":")
+                key = key.strip()
+                if key in _VOLATILE_KEYS:
+                    continue
+                if key in ("flags", "Features", "bugs", "vmx flags"):
+                    # sort: ordering is kernel-version noise
+                    val = " ".join(sorted(val.split()))
+                bits.append(f"{key}={val.strip()}")
     except OSError:
         bits.append(platform.processor())
     # LLVM derives tuning features (e.g. +prefer-no-gather/-scatter, set when
